@@ -1,0 +1,32 @@
+"""Test configuration: run everything on CPU with Pallas in interpret mode.
+
+Mirrors the driver contract: multi-chip sharding is validated on a virtual
+8-device CPU mesh (`--xla_force_host_platform_device_count=8`); real-TPU
+numbers come from bench.py / benchmarks/, not the unit suite.
+"""
+import os
+
+os.environ["TRS_INTERPRET"] = "1"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _cpu_default_device():
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running sweeps")

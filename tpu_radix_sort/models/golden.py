@@ -1,0 +1,106 @@
+"""Golden model: the reference's sort semantics, in NumPy.
+
+This is the byte-exact oracle every engine in this package is tested against.
+It reproduces, without any device code, exactly what the reference's WGSL
+pipeline computes:
+
+- stable ascending LSD radix sort of the first ``count`` elements of the key
+  buffer (reference ``README.md:94`` — "elements are sorted in ascending
+  order"; LSD with per-pass stable ranks ⇒ overall stable,
+  ``src/shaders/RadixSort.ts:122-125`` + ``RadixSortReorder.ts:97-101``)
+- ordering key is the low ``bit_count`` bits only: passes run
+  ``CURRENT_BIT = 0, 2, .., bit_count-2`` and extract
+  ``(key >> CURRENT_BIT) & 0x3`` (``AbstractRadixSortKernel.ts:94-107``,
+  ``src/shaders/RadixSort.ts:61-62``), so high bits never participate
+- elements past ``count`` are untouched (sub-count sorts,
+  ``example/tests.ts:31,56``)
+- float32 keys are ordered by their uint32 bit pattern (the shaders
+  reinterpret storage as ``array<u32>`` regardless; correct for non-negative
+  floats, ``README.md:9,68,95``)
+- the optional value payload is permuted identically to the keys
+  (``src/shaders/RadixSortReorder.ts:101``)
+
+Because the full sort is stable, the output is a pure function of the input
+and does not depend on the reference's pass structure (2-bit digits,
+workgroup size) — which its own test matrix asserts by sweeping workgroup
+shapes (``example/tests.ts:19-28``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["golden_sort", "golden_prefix_sum", "golden_is_sorted"]
+
+
+def _bit_pattern_u32(keys: np.ndarray) -> np.ndarray:
+    """Map keys to the uint32 bit pattern the reference sorts by."""
+    keys = np.asarray(keys)
+    if keys.dtype == np.uint32:
+        return keys
+    if keys.dtype in (np.float32, np.int32):
+        return keys.view(np.uint32)
+    raise TypeError(f"unsupported key dtype {keys.dtype}; expected uint32/float32/int32")
+
+
+def golden_sort(
+    keys: np.ndarray,
+    values: np.ndarray | None = None,
+    *,
+    count: int | None = None,
+    bit_count: int = 32,
+):
+    """Reference-semantics sort. Returns (keys, values) or keys if values is None."""
+    keys = np.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    n = keys.shape[0] if count is None else int(count)
+    if not (0 <= n <= keys.shape[0]):
+        raise ValueError(f"count {n} out of range for buffer of {keys.shape[0]}")
+    if not (4 <= bit_count <= 32) or bit_count % 4 != 0:
+        # reference: bit_count must be a multiple of 4 in [4, 32] (README.md:97)
+        raise ValueError("bit_count must be a multiple of 4 in [4, 32]")
+
+    u = _bit_pattern_u32(keys)
+    mask = np.uint32(0xFFFFFFFF) if bit_count == 32 else np.uint32((1 << bit_count) - 1)
+    order = np.argsort(u[:n] & mask, kind="stable")
+
+    out_keys = keys.copy()
+    out_keys[:n] = keys[:n][order]
+    if values is None:
+        return out_keys
+    values = np.asarray(values)
+    if values.shape[0] < n:
+        raise ValueError("values buffer shorter than count")
+    out_values = values.copy()
+    out_values[:n] = values[:n][order]
+    return out_keys, out_values
+
+
+def golden_prefix_sum(items: np.ndarray, *, count: int | None = None) -> np.ndarray:
+    """Reference-semantics exclusive prefix sum (in-place over first count).
+
+    The reference's PrefixSumKernel computes a work-efficient *exclusive* scan
+    over a u32 buffer, in place, with u32 wraparound
+    (``src/shaders/PrefixSum.ts:13-79``; oracle ``example/tests.ts:288-296``).
+    """
+    items = np.asarray(items)
+    n = items.shape[0] if count is None else int(count)
+    out = items.copy()
+    seg = items[:n].astype(np.uint64)
+    excl = np.concatenate([[0], np.cumsum(seg)[:-1]]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    out[:n] = excl.astype(items.dtype)
+    return out
+
+
+def golden_is_sorted(keys: np.ndarray, *, count: int | None = None, bit_count: int = 32) -> bool:
+    """Adjacent-pair order check over the sorted-by bit pattern.
+
+    Mirrors the check-sort reduction: disorder = sum of (k[i] > k[i+1])
+    (``src/shaders/CheckSort.ts:102-113``).
+    """
+    keys = np.asarray(keys)
+    n = keys.shape[0] if count is None else int(count)
+    u = _bit_pattern_u32(keys)[:n]
+    mask = np.uint32(0xFFFFFFFF) if bit_count == 32 else np.uint32((1 << bit_count) - 1)
+    u = u & mask
+    return bool(np.all(u[:-1] <= u[1:])) if n > 1 else True

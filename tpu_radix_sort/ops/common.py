@@ -1,0 +1,131 @@
+"""Shared helpers for the sort engines: key transforms, padding, tiling math.
+
+The reference sorts raw u32 bit patterns (its WGSL buffers are
+``array<u32>`` regardless of the JS-side dtype, ``src/shaders/RadixSort.ts``);
+these helpers centralize the dtype ↔ sortable-u32 mapping and the sentinel
+padding that replaces the reference's ``ELEMENT_COUNT``/``LAST_THREAD``
+partial-block masking (``src/shaders/RadixSort.ts:61-72``).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel that sorts after every real key (ascending): all-ones.
+SENTINEL_U32 = jnp.uint32(0xFFFFFFFF)
+
+SUPPORTED_KEY_DTYPES = ("uint32", "float32", "int32")
+
+
+def is_tpu_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def default_interpret() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests).
+
+    Resolution order: TRS_INTERPRET env var ('1'/'0'), then the thread-local
+    `jax.default_device` (a CPU default device means CPU execution even when
+    a TPU backend is registered), then the default backend.
+    """
+    env = os.environ.get("TRS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    try:
+        from jax._src import config as _jcfg
+
+        dev = _jcfg.default_device.value
+        if dev is not None:
+            return getattr(dev, "platform", None) not in ("tpu", "axon")
+    except Exception:  # pragma: no cover - private API drift
+        pass
+    return not is_tpu_backend()
+
+
+def to_sortable_u32(keys: jax.Array) -> jax.Array:
+    """Bitcast keys to the u32 bit pattern the reference orders by.
+
+    uint32: identity. float32/int32: reinterpret bits (matches the reference,
+    which is documented for non-negative floats only, ``README.md:9,68,95``).
+    Use :func:`to_total_order_u32` for a true total order on signed values.
+    """
+    if keys.dtype == jnp.uint32:
+        return keys
+    if keys.dtype in (jnp.float32, jnp.int32):
+        return jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    raise TypeError(
+        f"unsupported key dtype {keys.dtype}; expected one of {SUPPORTED_KEY_DTYPES}"
+    )
+
+
+def from_sortable_u32(u: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.uint32:
+        return u
+    return jax.lax.bitcast_convert_type(u, dtype)
+
+
+def to_total_order_u32(keys: jax.Array) -> jax.Array:
+    """Monotone bijection to u32 giving a *total* ascending order.
+
+    Extension beyond the reference (which requires non-negative keys):
+    float32 uses the sign-flip trick (flip all bits if negative, else flip
+    sign bit); int32 offsets by 2^31.
+    """
+    if keys.dtype == jnp.uint32:
+        return keys
+    if keys.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(keys, jnp.uint32) ^ jnp.uint32(0x80000000)
+    if keys.dtype == jnp.float32:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+        flip = jnp.where(
+            (u >> 31) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
+        )
+        return u ^ flip
+    raise TypeError(f"unsupported key dtype {keys.dtype}")
+
+
+def from_total_order_u32(u: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.uint32:
+        return u
+    if dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(u ^ jnp.uint32(0x80000000), jnp.int32)
+    if dtype == jnp.float32:
+        flip = jnp.where((u >> 31) == 1, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
+        return jax.lax.bitcast_convert_type(u ^ flip, jnp.float32)
+    raise TypeError(f"unsupported key dtype {dtype}")
+
+
+def bit_mask(bit_count: int) -> jnp.uint32:
+    if bit_count == 32:
+        return jnp.uint32(0xFFFFFFFF)
+    return jnp.uint32((1 << bit_count) - 1)
+
+
+def validate_bit_count(bit_count: int) -> None:
+    # reference constraint: multiple of 4 in [4, 32] (README.md:97)
+    if not (4 <= bit_count <= 32) or bit_count % 4 != 0:
+        raise ValueError(f"bit_count must be a multiple of 4 in [4, 32], got {bit_count}")
+
+
+def next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(a: int, b: int) -> int:
+    return cdiv(a, b) * b
+
+
+def pad_to(x: jax.Array, n: int, fill) -> jax.Array:
+    """Pad 1-D array to length n with fill (no-op if already length n)."""
+    if x.shape[0] == n:
+        return x
+    return jnp.concatenate([x, jnp.full((n - x.shape[0],), fill, dtype=x.dtype)])

@@ -1,0 +1,243 @@
+"""Top-level functional sort: feature assembly around the engines.
+
+Reproduces the reference's full option surface
+(`src/kernels/radix-sort/AbstractRadixSortKernel.ts:52-57`,
+`RadixSortBufferKernel.ts:14-23`, `README.md:72-99`):
+
+- keys-only or key+value (`hasValues`, `RadixSortBufferKernel.ts:34-36`)
+- sort only the first `count` elements of a larger buffer, suffix untouched
+  (`example/tests.ts:31,56`)
+- `bit_count` in 4..32, multiple of 4: order by the low bits only
+  (`AbstractRadixSortKernel.ts:94-107`)
+- uint32 keys; float32/int32 ordered by u32 bit pattern like the reference
+  (`README.md:9,68,95`), or by true total order with `total_order=True`
+  (extension past the reference's non-negative restriction)
+- `check_order` early exit for nearly-sorted input (`README.md:131-158`)
+- stable, ascending (`README.md:94`)
+
+Engine selection (`method`): 'bitonic' (Pallas network engine, default on
+TPU), 'radix' (Pallas radix pipeline), 'xla' (`lax.sort` baseline).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import bitonic, checksort, common
+
+_METHODS = ("auto", "bitonic", "radix", "xla")
+
+
+def _resolve_method(method: str) -> str:
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method}")
+    if method == "auto":
+        return "bitonic"
+    return method
+
+
+def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret):
+    """Sort by mkeys (stably if `stable`), co-permuting payloads.
+
+    mkeys: u32 (n,); payloads: tuple of u32 (n,). Returns (mkeys, payloads).
+    """
+    if method == "xla":
+        ops = jax.lax.sort((mkeys, *payloads), num_keys=1, is_stable=stable)
+        return ops[0], tuple(ops[1:])
+
+    if method == "radix":
+        from . import radix  # local import: optional engine
+
+        return radix.sort_u32(
+            mkeys, payloads, block_rows=block_rows, interpret=interpret
+        )
+
+    # bitonic network engine: pad to pow2 multiple of 128 with sentinels;
+    # stability via an index tie-break key.
+    n = mkeys.shape[0]
+    n_pad = max(bitonic.LANES, common.next_pow2(n))
+    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
+    arrs = [mk]
+    if stable:
+        arrs.append(jnp.arange(n_pad, dtype=jnp.uint32))
+    arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in payloads]
+    out = bitonic.sort_padded(
+        tuple(arrs), stable=stable, block_rows=block_rows, interpret=interpret
+    )
+    k = out[0][:n]
+    tail = out[2:] if stable else out[1:]
+    return k, tuple(p[:n] for p in tail)
+
+
+def sort(
+    keys,
+    values=None,
+    *,
+    count=None,
+    bit_count: int = 32,
+    check_order: bool = False,
+    total_order: bool = False,
+    method: str = "auto",
+    block_rows=None,
+    interpret=None,
+):
+    """Stable ascending sort with the reference's semantics.
+
+    Returns sorted keys, or (keys, values) when values is given. Elements at
+    index >= count are returned untouched.
+    """
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    if keys.dtype not in (jnp.uint32, jnp.float32, jnp.int32):
+        raise TypeError(f"unsupported key dtype {keys.dtype}")
+    common.validate_bit_count(bit_count)
+    n = keys.shape[0]
+    count = n if count is None else int(count)
+    if not (0 <= count <= n):
+        raise ValueError(f"count {count} out of range for buffer of {n}")
+    if values is not None:
+        values = jnp.asarray(values)
+        if values.ndim != 1 or values.shape[0] != n:
+            raise ValueError("values must be 1-D with the same length as keys")
+        if values.dtype.itemsize != 4:
+            raise TypeError("values must be a 32-bit dtype")
+    method = _resolve_method(method)
+    if interpret is None:
+        interpret = common.default_interpret()
+
+    # the mask is a traced operand so every bit_count shares one compiled
+    # pipeline (two traces total: masked vs full-width key)
+    out = _sort_jit(
+        keys,
+        values,
+        common.bit_mask(bit_count),
+        count=count,
+        masked=bit_count < 32,
+        check_order=check_order,
+        total_order=total_order,
+        method=method,
+        block_rows=block_rows,
+        interpret=interpret,
+    )
+    return out if values is not None else out[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "count",
+        "masked",
+        "check_order",
+        "total_order",
+        "method",
+        "block_rows",
+        "interpret",
+    ),
+)
+def _sort_jit(
+    keys,
+    values,
+    mask,
+    *,
+    count,
+    masked,
+    check_order,
+    total_order,
+    method,
+    block_rows,
+    interpret,
+):
+    """Jitted sort core; one compiled pipeline per static configuration.
+
+    Always returns (keys, values_or_None).
+    """
+    n = keys.shape[0]
+
+    if count <= 1:
+        return keys, values
+
+    if total_order:
+        u_full = common.to_total_order_u32(keys[:count])
+    else:
+        u_full = common.to_sortable_u32(keys[:count])
+    mkeys = u_full & mask
+
+    carry_full_key = masked
+    stable = carry_full_key or values is not None
+
+    payloads = []
+    if carry_full_key:
+        payloads.append(u_full)
+    if values is not None:
+        payloads.append(jax.lax.bitcast_convert_type(values[:count], jnp.uint32))
+
+    def do_sort():
+        mk, ps = _engine_sort(
+            mkeys,
+            tuple(payloads),
+            stable=stable,
+            method=method,
+            block_rows=block_rows,
+            interpret=interpret,
+        )
+        ps = list(ps)
+        u_sorted = ps.pop(0) if carry_full_key else mk
+        out = [u_sorted]
+        if values is not None:
+            out.append(ps.pop(0))
+        return tuple(out)
+
+    if check_order:
+        passthrough = [u_full]
+        if values is not None:
+            passthrough.append(
+                jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
+            )
+        result = checksort.with_early_exit(mkeys, tuple(passthrough), do_sort)
+    else:
+        result = do_sort()
+
+    u_sorted = result[0]
+    if total_order:
+        out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+    else:
+        out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
+    if count < n:
+        out_keys = jnp.concatenate([out_keys, keys[count:]])
+    if values is None:
+        return out_keys, None
+    out_values = jax.lax.bitcast_convert_type(result[1], values.dtype)
+    if count < n:
+        out_values = jnp.concatenate([out_values, values[count:]])
+    return out_keys, out_values
+
+
+def argsort(keys, **kwargs):
+    """Indices that stably sort keys (reference pattern: values = iota,
+    `example/tests.ts:38`)."""
+    keys = jnp.asarray(keys)
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    _, out = sort(keys, idx, **kwargs)
+    return out
+
+
+def sort_packed(packed, *, count=None, **kwargs):
+    """Sort packed (key, value) records: array [..., 2] u32, key in [..., 0].
+
+    TPU-native equivalent of the reference's texture kernel, which sorts
+    rg32uint texels with key in .x and value in .y
+    (`src/kernels/radix-sort/RadixSortTextureKernel.ts:27-29`): the capability
+    is sorting packed records in an arbitrary 2-D layout; rows are linearized
+    row-major exactly like the texture addressing (`src/shaders/RadixSort.ts:
+    29-34`).
+    """
+    packed = jnp.asarray(packed)
+    if packed.shape[-1] != 2:
+        raise ValueError("packed records must have trailing dimension 2")
+    lead_shape = packed.shape[:-1]
+    flat = packed.reshape(-1, 2)
+    k, v = sort(flat[:, 0], flat[:, 1], count=count, **kwargs)
+    return jnp.stack([k, v], axis=-1).reshape(*lead_shape, 2)
