@@ -1,0 +1,55 @@
+"""Headline benchmark: 64M uint32 key+value sort throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value        = sorted keys/s (Gkeys/s * 1e9) for the Pallas engine at
+               N = 2^26 uint32 key + uint32 value (BASELINE.json north star).
+vs_baseline  = speedup vs `jax.lax.sort` (XLA's stock stable sort) on the
+               same chip and workload — the strongest existing TPU baseline
+               (the reference itself publishes no numbers, BASELINE.md).
+
+Timing uses the slope method (tpu_radix_sort.runtime.device_time): k
+dependency-chained iterations inside one jit, slope between two iteration
+counts — the reference's timestamp-query equivalent for a tunneled device.
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # real device if present
+
+import jax
+import jax.numpy as jnp
+
+import tpu_radix_sort as trs
+from tpu_radix_sort.runtime import device_time
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (1 << 26)
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.bits(key, (n,), dtype=jnp.uint32)
+    values = jnp.arange(n, dtype=jnp.uint32)
+
+    ours = jax.jit(lambda kv: tuple(trs.sort(kv[0], kv[1])))
+    xla = jax.jit(
+        lambda kv: tuple(jax.lax.sort(kv, num_keys=1, is_stable=True))
+    )
+
+    t_ours = device_time(ours, (keys, values), k_lo=1, k_hi=3, reps=3)
+    t_xla = device_time(xla, (keys, values), k_lo=1, k_hi=3, reps=3)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sort throughput, {n} uint32 key+value, 1 chip",
+                "value": round(n / t_ours, 0),
+                "unit": "keys/s",
+                "vs_baseline": round(t_xla / t_ours, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

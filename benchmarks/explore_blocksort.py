@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from timing import device_time
+from tpu_radix_sort.runtime import device_time
 
 
 def report(name, n, secs):

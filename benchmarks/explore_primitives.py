@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
 import jax
 import jax.numpy as jnp
-from timing import device_time
+from tpu_radix_sort.runtime import device_time
 
 print("device:", jax.devices()[0])
 

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import tpu_radix_sort as trs
 from tpu_radix_sort.models.golden import golden_sort
-from timing import device_time
+from tpu_radix_sort.runtime import device_time
 
 print("device:", jax.devices()[0], flush=True)
 

@@ -1,0 +1,76 @@
+"""Multi-device mesh sort vs the golden model, on a virtual 8-device CPU mesh.
+
+The reference has nothing multi-device to mirror (SURVEY.md §2.4); the test
+matrix shape still follows its randomized-sweep style (`example/tests.ts`):
+random counts, sub-counts, keys-only and key+value, masked bit_count.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_radix_sort.models.golden import golden_sort
+from tpu_radix_sort.parallel import mesh_sort, sharded
+from jax.sharding import Mesh
+
+
+def make_mesh(n):
+    devs = jax.devices("cpu")[:n]
+    return Mesh(np.array(devs), ("x",))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+@pytest.mark.parametrize("n", [256, 1000, 4096, 20000])
+def test_mesh_sort_keys(rng, n_dev, n):
+    mesh = make_mesh(n_dev)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(keys)), mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_mesh_sort_kv_and_subcount(rng, n_dev):
+    mesh = make_mesh(n_dev)
+    n = 5000
+    count = 3777
+    keys = rng.integers(0, 2**10, size=n, dtype=np.uint32)  # many duplicates
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+        count=count,
+    )
+    rk, rv = golden_sort(keys, values, count=count)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)  # stability check
+
+
+def test_mesh_sort_bit_count_and_float(rng):
+    mesh = make_mesh(4)
+    n = 3000
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+        bit_count=8,
+    )
+    rk, rv = golden_sort(keys, values, bit_count=8)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+    f = rng.random(size=2048, dtype=np.float32) * 100.0
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(f)), mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(f))
+
+
+def test_mesh_sort_jit_sharded(rng):
+    """The whole mesh sort jits end-to-end with sharded inputs."""
+    mesh = make_mesh(8)
+    n = 1 << 13
+    keys = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    f = jax.jit(lambda k: mesh_sort(k, mesh=mesh))
+    got = f(sharded(mesh, "x", keys))
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(np.asarray(keys)))

@@ -215,46 +215,97 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
     # Phase 2: bitonic merge rounds k = 2T .. n.
     k = 2 * T
     while k <= n:
-        # strides k/2 .. down: fused cross passes while the pair distance
-        # exceeds what a contiguous tile can see (2j > T)
-        j = k // 2
-        while 2 * j > T:
-            # fuse strides j .. j_lo in one pass (c of them)
-            c = 1
-            j_lo = j
-            while (
-                c < CROSS_C
-                and 2 * (j_lo // 2) > T
-                and j_lo // 2 >= CROSS_SUB * LANES
-                and (1 << (c + 1)) * CROSS_SUB * LANES <= T
-            ):
-                c += 1
-                j_lo //= 2
-            m_lo = j_lo // LANES
-            sub = min(CROSS_SUB, m_lo)
-            group = (1 << c) * j_lo  # == elements spanned by one exchange group
-            A = n // group
-            x4 = tuple(a.reshape(A, 1 << c, m_lo // sub, sub, LANES) for a in x)
-            # local strides: global j_lo * 2^s  <->  local rows sub * 2^s
-            stages = [(k, sub * (1 << s) * LANES) for s in range(c - 1, -1, -1)]
-            kernel_rows = (1 << c) * sub
-            x4 = _run_network(
-                x4, stable, stages,
-                grid=(A, m_lo // sub),
-                block_shape=(1, 1 << c, 1, sub, LANES),
-                index_map=lambda a, s: (a, 0, s, 0, 0),
-                base_scale=group,
-                kernel_rows=kernel_rows,
-                block_elems=kernel_rows * LANES,
-                interpret=interpret,
-            )
-            x = tuple(a.reshape(rows, LANES) for a in x4)
-            j = j_lo // 2
-        # merge tail: strides j .. 1 inside contiguous tiles
-        if j >= 1:
-            x = run_contig(x, [(k, jj) for jj in _halving(j)])
+        x = _merge_round(
+            x, k, n=n, rows=rows, tile_rows=tile_rows, T=T,
+            stable=stable, run_contig=run_contig, interpret=interpret,
+        )
         k *= 2
 
+    return tuple(a.reshape(n) for a in x)
+
+
+def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
+    """One bitonic merge round k: strides k/2 .. 1 over (rows, 128) arrays."""
+    # strides k/2 .. down: fused cross passes while the pair distance
+    # exceeds what a contiguous tile can see (2j > T)
+    j = k // 2
+    while 2 * j > T:
+        # fuse strides j .. j_lo in one pass (c of them)
+        c = 1
+        j_lo = j
+        while (
+            c < CROSS_C
+            and 2 * (j_lo // 2) > T
+            and j_lo // 2 >= CROSS_SUB * LANES
+            and (1 << (c + 1)) * CROSS_SUB * LANES <= T
+        ):
+            c += 1
+            j_lo //= 2
+        m_lo = j_lo // LANES
+        sub = min(CROSS_SUB, m_lo)
+        group = (1 << c) * j_lo  # == elements spanned by one exchange group
+        A = n // group
+        x4 = tuple(a.reshape(A, 1 << c, m_lo // sub, sub, LANES) for a in x)
+        # local strides: global j_lo * 2^s  <->  local rows sub * 2^s
+        stages = [(k, sub * (1 << s) * LANES) for s in range(c - 1, -1, -1)]
+        kernel_rows = (1 << c) * sub
+        x4 = _run_network(
+            x4, stable, stages,
+            grid=(A, m_lo // sub),
+            block_shape=(1, 1 << c, 1, sub, LANES),
+            index_map=lambda a, s: (a, 0, s, 0, 0),
+            base_scale=group,
+            kernel_rows=kernel_rows,
+            block_elems=kernel_rows * LANES,
+            interpret=interpret,
+        )
+        x = tuple(a.reshape(rows, LANES) for a in x4)
+        j = j_lo // 2
+    # merge tail: strides j .. 1 inside contiguous tiles
+    if j >= 1:
+        x = run_contig(x, [(k, jj) for jj in _halving(j)])
+    return x
+
+
+def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
+    """Sort a *bitonic* tuple of u32 arrays ascending (one bitonic merge).
+
+    Same contract as :func:`sort_padded` but the input arrs[0] (with arrs[1]
+    tie-break when stable) must already form a bitonic sequence — e.g. the
+    min/max halves of a compare-split between two sorted shards (see
+    ``parallel/mesh_sort.py``). Runs only the merge network: strides n/2..1,
+    uniformly ascending — log2(n) compare-exchange stages instead of the full
+    O(log^2 n) sort.
+    """
+    if interpret is None:
+        interpret = common.default_interpret()
+    n = arrs[0].shape[0]
+    assert n >= LANES and (n & (n - 1)) == 0, f"padded length must be pow2 >= 128, got {n}"
+    rows = n // LANES
+    block_rows = block_rows or DEFAULT_BLOCK_ROWS
+    tile_rows = min(rows, block_rows)
+    T = tile_rows * LANES
+
+    x = tuple(a.reshape(rows, LANES) for a in arrs)
+
+    def run_contig(x, stages):
+        return _run_network(
+            x, stable, stages,
+            grid=(rows // tile_rows,),
+            block_shape=(tile_rows, LANES),
+            index_map=lambda i: (i, 0),
+            base_scale=T,
+            kernel_rows=tile_rows,
+            block_elems=T,
+            interpret=interpret,
+        )
+
+    # Round k = n: every local index i < n has (i & n) == 0, so the direction
+    # is uniformly ascending — exactly a bitonic merge.
+    x = _merge_round(
+        x, n, n=n, rows=rows, tile_rows=tile_rows, T=T,
+        stable=stable, run_contig=run_contig, interpret=interpret,
+    )
     return tuple(a.reshape(n) for a in x)
 
 

@@ -1,0 +1,193 @@
+"""Distributed sort over a JAX device mesh (shard_map + ICI collectives).
+
+The reference is single-GPU (browser, one ``GPUDevice``) — there is no
+counterpart to cite; this layer is the new subsystem SURVEY.md §2.4/§7 calls
+for: scaling element count past one chip instead of past one workgroup
+(the reference's recursion/2-D-dispatch tricks, ``src/utils.ts:8-23``).
+
+Algorithm: **bitonic compare-split** over the mesh axis.
+
+1. Each shard sorts its local block with the Pallas engine (ascending,
+   stable via a global-index tie-break).
+2. Run a bitonic sorting network over the D shard ids where each
+   compare-exchange is a *compare-split*: the paired shards exchange their
+   full blocks (a fixed-size `ppermute` over ICI), the lower side keeps the
+   L smallest of the 2L union, the upper side the L largest, and each
+   re-sorts locally. Because both blocks are ascending, the min/max halves
+   are elementwise ``min/max(x_i, reverse(y)_i)`` (one VPU pass) and each
+   half is *bitonic*, so the local re-sort is a single bitonic merge
+   (``ops.bitonic.merge_padded``, log2(L) stages) — not a full sort.
+
+Why this design for TPU:
+
+- every exchange is the full fixed-size block → static shapes, no ragged
+  all-to-all, immune to key skew (a Zipf-hot bucket changes nothing);
+- `ppermute` pairs ride the ICI torus; XLA overlaps the transfer with the
+  preceding merge of the other half of the schedule;
+- stability and shard-shape invariance come from the same (key, index)
+  tie-break the single-chip engine uses.
+
+Cost: bitonic on D shards is log2(D)·(log2(D)+1)/2 compare-splits, each
+moving L elements per shard and one local bitonic merge. For D ≤ 64 this is
+competitive with a histogram+all_to_all radix exchange and has no skew or
+padding pathology; the radix-exchange layer is the planned complement for
+very large D.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import bitonic, common
+
+LANES = bitonic.LANES
+
+
+def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret):
+    """Bitonic sorting network over shard ids with compare-split exchanges.
+
+    arrs: tuple of (L,) u32 arrays, arrs[0] the sort key, arrs[1] a unique
+    tie-break index; all locally ascending-sorted by (key, idx). Returns the
+    tuple globally sorted in shard-major order.
+    """
+    me = jax.lax.axis_index(axis_name)
+    k = 2
+    while k <= n_dev:
+        j = k // 2
+        while j >= 1:
+            perm = [(i, i ^ j) for i in range(n_dev)]
+            recv = tuple(
+                jax.lax.ppermute(a, axis_name, perm) for a in arrs
+            )
+            # partner is ascending; reversed it pairs rank r with rank L-1-r,
+            # making (mine, reverse(partner)) the bitonic stride-L exchange.
+            recv = tuple(r[::-1] for r in recv)
+            # bitonic direction rule on shard ids: ascending region when
+            # (me & k) == 0; the lower-index side of the pair keeps the mins.
+            keep_min = ((me & j) == 0) == ((me & k) == 0)
+            mine_lt = (arrs[0] < recv[0]) | (
+                (arrs[0] == recv[0]) & (arrs[1] < recv[1])
+            )
+            take_mine = jnp.where(keep_min, mine_lt, ~mine_lt)
+            half = tuple(
+                jnp.where(take_mine, a, r) for a, r in zip(arrs, recv)
+            )
+            arrs = bitonic.merge_padded(
+                half, stable=True, block_rows=block_rows, interpret=interpret
+            )
+            j //= 2
+        k *= 2
+    return arrs
+
+
+def _shard_sort(arrs, *, axis_name, n_dev, block_rows, interpret):
+    arrs = bitonic.sort_padded(
+        arrs, stable=True, block_rows=block_rows, interpret=interpret
+    )
+    if n_dev > 1:
+        arrs = _compare_split_network(
+            arrs, axis_name, n_dev, block_rows=block_rows, interpret=interpret
+        )
+    return arrs
+
+
+def mesh_sort(
+    keys,
+    values=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    count=None,
+    bit_count: int = 32,
+    total_order: bool = False,
+    block_rows=None,
+    interpret=None,
+):
+    """Stable ascending sort of `keys` (and optional `values`) across a mesh.
+
+    Semantics match the single-chip :func:`tpu_radix_sort.sort` (and hence
+    the reference's option surface): first `count` elements sorted, suffix
+    untouched, `bit_count` low bits ordered, stable.
+
+    `keys`/`values` are global 1-D arrays; shard them along `axis_name`
+    (``NamedSharding(mesh, P(axis_name))``) for the exchange to ride ICI.
+    Returns sorted keys, or (keys, values).
+    """
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    common.validate_bit_count(bit_count)
+    n = keys.shape[0]
+    count = n if count is None else int(count)
+    if not (0 <= count <= n):
+        raise ValueError(f"count {count} out of range for buffer of {n}")
+    if values is not None:
+        values = jnp.asarray(values)
+        if values.shape != keys.shape:
+            raise ValueError("values must match keys shape")
+    if interpret is None:
+        interpret = common.default_interpret()
+    n_dev = mesh.shape[axis_name]
+
+    if count <= 1:
+        return keys if values is None else (keys, values)
+
+    # per-shard padded length: pow2 multiple of LANES covering count/n_dev
+    per = max(LANES, common.next_pow2(common.cdiv(count, n_dev)))
+    n_pad = per * n_dev
+
+    if total_order:
+        u_full = common.to_total_order_u32(keys[:count])
+    else:
+        u_full = common.to_sortable_u32(keys[:count])
+    masked = bit_count < 32
+    mkeys = u_full & common.bit_mask(bit_count)
+
+    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
+    idx = jnp.arange(n_pad, dtype=jnp.uint32)
+    arrs = [mk, idx]
+    if masked:
+        arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
+    if values is not None:
+        v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
+        arrs.append(common.pad_to(v_u32, n_pad, jnp.uint32(0)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _shard_sort,
+            axis_name=axis_name,
+            n_dev=n_dev,
+            block_rows=block_rows,
+            interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(tuple(P(axis_name) for _ in arrs),),
+        out_specs=tuple(P(axis_name) for _ in arrs),
+        # Pallas calls inside the shard body don't carry vma annotations yet.
+        check_vma=False,
+    )
+    out = fn(tuple(arrs))
+
+    u_sorted = out[2] if masked else out[0]
+    u_sorted = u_sorted[:count]
+    if total_order:
+        out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+    else:
+        out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
+    if count < n:
+        out_keys = jnp.concatenate([out_keys, keys[count:]])
+    if values is None:
+        return out_keys
+    v_sorted = out[3 if masked else 2][:count]
+    out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
+    if count < n:
+        out_values = jnp.concatenate([out_values, values[count:]])
+    return out_keys, out_values
+
+
+def sharded(mesh: Mesh, axis_name: str, x):
+    """Place a global array with shard-along-axis sharding (helper)."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis_name)))

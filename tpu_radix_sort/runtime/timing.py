@@ -1,19 +1,23 @@
-"""Honest device timing on the tunneled 'axon' TPU platform.
+"""Honest device timing (reference counterpart: GPU timestamp queries).
 
-`jax.block_until_ready` is a no-op over the tunnel and a host fetch costs
-~25-30 ms fixed latency, so single-shot wall-clock timing is useless. Instead
-we run the op k times inside one jitted `lax.fori_loop` with a dependency
+The reference times kernels with WebGPU `timestamp-query`
+(`example/tests.ts:247-285`); on this machine the TPU is tunneled ('axon'
+platform), where `jax.block_until_ready` is a no-op and a host fetch costs a
+fixed ~25-30 ms, so single-shot wall-clock timing is useless. Instead we run
+the op k times inside one jitted `lax.fori_loop` with a data dependency
 chain, fetch one scalar, and take the slope between two iteration counts:
 
     per_op = (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
 
-This cancels fetch latency, dispatch, and jit-call overhead.
+This cancels fetch latency, dispatch, and jit-call overhead — the same role
+as the reference's device-side begin/end timestamps.
 """
+from __future__ import annotations
+
 import time
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
