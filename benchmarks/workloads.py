@@ -1,0 +1,76 @@
+"""Workload benchmarks on the real chip (BASELINE.json configs 1-3, 5).
+
+- 256K uint32 keys-only           (config 1)
+- 4M uint32 key+value             (config 2)
+- 16M float32 nearly-sorted with check_order early exit (config 3)
+- 16M Zipfian-skewed uint32       (config 5, single-chip: the comparison
+  engine is skew-immune by construction — this documents it)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpu_radix_sort as trs
+from tpu_radix_sort.models.golden import golden_sort
+from tpu_radix_sort.runtime import device_time
+
+
+def bench(name, fn, x, n, check=None):
+    f = jax.jit(fn)
+    out = f(x)
+    if check is not None:
+        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(out)]
+        ok = check(leaves)
+    else:
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ok = True
+    t = device_time(f, x, k_lo=1, k_hi=3)
+    print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
+          flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print("device:", jax.devices()[0], flush=True)
+
+    # config 1: 256K keys-only
+    n = 1 << 18
+    k = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    ref = golden_sort(np.asarray(k))
+    bench("256K u32 keys-only", lambda a: trs.sort(a), k, n,
+          check=lambda ls: np.array_equal(ls[0], ref))
+
+    # config 2: 4M k+v
+    n = 1 << 22
+    k = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    v = jnp.arange(n, dtype=jnp.uint32)
+    rk, rv = golden_sort(np.asarray(k), np.asarray(v))
+    bench("4M u32 key+value", lambda kv: tuple(trs.sort(*kv)), (k, v), n,
+          check=lambda ls: np.array_equal(ls[0], rk) and np.array_equal(ls[1], rv))
+
+    # config 3: 16M float32 nearly-sorted, check_order
+    n = 1 << 24
+    f = np.sort(rng.random(n, dtype=np.float32))
+    fj = jnp.asarray(f)
+    bench("16M f32 sorted, check_order=True (early exit)",
+          lambda a: trs.sort(a, check_order=True), fj, n,
+          check=lambda ls: np.array_equal(ls[0], f))
+    bench("16M f32 sorted, check_order=False",
+          lambda a: trs.sort(a), fj, n)
+
+    # config 5: 16M Zipf-skewed keys (hot buckets)
+    n = 1 << 24
+    z = rng.zipf(1.3, size=n).astype(np.uint32)  # heavy head skew
+    zj = jnp.asarray(z)
+    refz = golden_sort(z)
+    bench("16M u32 Zipf(1.3) skewed", lambda a: trs.sort(a), zj, n,
+          check=lambda ls: np.array_equal(ls[0], refz))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Interactive-style demo: TPU sort vs native CPU baseline.
+
+CLI port of the reference's browser demo (`example/index.ts`): the same
+knobs (element count, bit count, keys vs keys+values, check_order,
+consecutive sorts) as flags instead of GUI sliders, the same output
+(device time, CPU time, speedup) as a printed table instead of an HTML
+panel, and the same initial-data modes (Random / Sorted).
+
+Usage:
+    python examples/demo.py --n 4194304 --values --consecutive 4
+    python examples/demo.py --n 1000000 --sorted --check-order
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpu_radix_sort as trs
+from tpu_radix_sort.runtime import device_time
+from tpu_radix_sort.runtime.cpu_baseline import cpu_sort, native_available
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=1 << 22,
+                   help="element count (reference slider: 1e4..2^24)")
+    p.add_argument("--bit-count", type=int, default=32,
+                   help="bits to sort on, multiple of 4 in 4..32")
+    p.add_argument("--values", action="store_true",
+                   help="sort key+value pairs (default keys-only)")
+    p.add_argument("--sorted", action="store_true", dest="presorted",
+                   help="initial data already sorted (reference 'Sorted' mode)")
+    p.add_argument("--check-order", action="store_true",
+                   help="enable the order-check early exit")
+    p.add_argument("--consecutive", type=int, default=1,
+                   help="number of consecutive sorts to average (1..20)")
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "bitonic", "radix", "xla"])
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    print(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(args.seed)
+    keys_np = rng.integers(0, 2**32, size=args.n, dtype=np.uint64).astype(np.uint32)
+    if args.presorted:
+        keys_np = np.sort(keys_np)
+    keys = jnp.asarray(keys_np)
+    values = jnp.arange(args.n, dtype=jnp.uint32) if args.values else None
+
+    kern = trs.RadixSortKernel(
+        count=args.n,
+        has_values=args.values,
+        bit_count=args.bit_count,
+        check_order=args.check_order,
+        method=args.method,
+    )
+
+    t0 = time.time()
+    if args.values:
+        out = kern.dispatch(keys, values)
+        np.asarray(out[0])
+    else:
+        out = kern.dispatch(keys)
+        np.asarray(out)
+    print(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # device timing (slope method = the reference's timestamp queries)
+    if args.values:
+        step = lambda kv: tuple(kern.dispatch(*kv))
+        x = (keys, values)
+    else:
+        step = lambda k: kern.dispatch(k)
+        x = keys
+    t_dev = device_time(step, x, k_lo=1, k_hi=1 + max(2, args.consecutive))
+
+    # CPU baseline (reference compares against Array.prototype.sort,
+    # example/index.ts:147-151; ours is the native C++ radix sort)
+    t0 = time.perf_counter()
+    if args.values:
+        cpu_sort(keys_np, np.arange(args.n, dtype=np.uint32))
+    else:
+        cpu_sort(keys_np)
+    t_cpu = time.perf_counter() - t0
+
+    kind = "key+value" if args.values else "keys-only"
+    print(f"\n  n={args.n:,}  {kind}  bit_count={args.bit_count}"
+          f"  check_order={args.check_order}  method={args.method}")
+    print(f"  TPU:  {t_dev*1e3:9.3f} ms   {args.n/t_dev/1e9:7.3f} Gkeys/s")
+    print(f"  CPU:  {t_cpu*1e3:9.3f} ms   ({'native radix' if native_available() else 'numpy'})")
+    print(f"  speedup: {t_cpu/t_dev:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

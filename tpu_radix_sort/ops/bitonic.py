@@ -50,6 +50,20 @@ DEFAULT_BLOCK_ROWS = 1024
 # Fused cross-stage geometry: 2^CROSS_C half-groups x CROSS_SUB rows each.
 CROSS_C = 6
 CROSS_SUB = 8
+# Compile-memory cap: Mosaic's compile RSS grows with the unrolled stage
+# count × array count; past ~200 array-stages the axon remote-compile helper
+# gets OOM-killed. Long stage lists are chunked into multiple pallas_calls
+# (each an extra HBM round-trip — bounded, ~1 ms per pass at 16M elements).
+MAX_ARRAY_STAGES_PER_CALL = 160
+# Sublane CE formulation: reshape+slice min/max (fewer VPU ops) vs cyclic
+# rolls. Slicing sends Mosaic's compile time pathological on real TPU
+# (4-D strided slices + stacks); rolls compile fast. Kept switchable for
+# per-kernel microbenching (benchmarks/explore_stages.py).
+USE_SLICING_CE = False
+# Mosaic's default scoped-VMEM cap is 16 MB; a 3-array stable sort with
+# 1024-row blocks needs ~16.5 MB of live stage temporaries. v5e has 128 MB
+# of physical VMEM — raise the cap and leave headroom for double buffering.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 
 
 def _roll(x, shift, axis):
@@ -57,57 +71,71 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def _partner(x, j):
-    """partner[i] = x[i ^ j] for a (rows, 128) row-major array, j a power of 2."""
-    rows = x.shape[0]
+def _lt_tuple(a_k, a_i, b_k, b_i, stable):
+    """Lexicographic (key[, idx]) less-than. With stable, tuples are distinct."""
+    if stable:
+        return (a_k < b_k) | ((a_k == b_k) & (a_i < b_i))
+    return a_k < b_k
+
+
+def _ce_sublane(arrs, stable, up, j, kernel_rows):
+    """Compare-exchange at sublane stride j >= 128 via reshape + slicing.
+
+    View (R, 128) as (G, 2, m, 128) with m = j/128: pair halves are the
+    axis-1 slices — contiguous sublane slices, so the exchange is pure
+    min/max-style selects with no rolls, no partner masks. `up` is a scalar
+    bool or a (G, 1, 1) mask (direction constant within a pair group because
+    k >= 2j).
+    """
+    m = j // LANES
+    g = kernel_rows // (2 * m)
+    r4 = tuple(a.reshape(g, 2, m, LANES) for a in arrs)
+    x0 = tuple(r[:, 0] for r in r4)
+    x1 = tuple(r[:, 1] for r in r4)
+    if stable:
+        lt10 = _lt_tuple(x1[0], x1[1], x0[0], x0[1], True)
+        # distinct tuples: lt01 == ~lt10
+        swap = (up & lt10) | (~up & ~lt10)
+    else:
+        lt10 = x1[0] < x0[0]
+        lt01 = x0[0] < x1[0]
+        swap = (up & lt10) | (~up & lt01)
+    new0 = tuple(jnp.where(swap, b, a) for a, b in zip(x0, x1))
+    new1 = tuple(jnp.where(swap, a, b) for a, b in zip(x0, x1))
+    return tuple(
+        jnp.stack([a, b], axis=1).reshape(kernel_rows, LANES)
+        for a, b in zip(new0, new1)
+    )
+
+
+def _ce_roll(arrs, stable, up, j):
+    """Compare-exchange at stride j via cyclic rolls (any j).
+
+    partner[i] = x[i ^ j]: one fwd and one bwd roll selected by the pair-bit
+    mask — a sublane roll for j >= 128, a lane roll below. `up` is a scalar
+    bool or full-shape mask.
+    """
+    shape = arrs[0].shape
     if j >= LANES:
         m = j // LANES
-        rid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        first = (rid & m) == 0  # bit m of row clear -> partner is +m rows
-        fwd = _roll(x, -m, 0)  # fwd[i] = x[i + m]
-        bwd = _roll(x, m, 0)  # bwd[i] = x[i - m]
-        return jnp.where(first, fwd, bwd)
-    cid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    first = (cid & j) == 0
-    fwd = _roll(x, -j, 1)
-    bwd = _roll(x, j, 1)
-    return jnp.where(first, fwd, bwd)
-
-
-def _first_mask(shape, j):
-    """True where element is the lower index of its stride-j pair."""
-    if j >= LANES:
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        return (rid & (j // LANES)) == 0
-    cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return (cid & j) == 0
-
-
-def _local_index(shape):
-    rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return rid * LANES + cid
-
-
-def _ce_stage(arrs, stable, up, j):
-    """One compare-exchange stage at stride j. `up` is a bool scalar or mask.
-
-    arrs[0] is the sort key; arrs[1] is the tie-break index when stable.
-    Each element decides: take partner's tuple iff
-      (I am the lower pair index) == up  ?  partner < me  :  partner > me.
-    """
-    partners = tuple(_partner(a, j) for a in arrs)
+        first = (rid & m) == 0  # bit m of row clear -> partner is +m rows
+        partners = tuple(
+            jnp.where(first, _roll(a, -m, 0), _roll(a, m, 0)) for a in arrs
+        )
+    else:
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first = (cid & j) == 0
+        partners = tuple(
+            jnp.where(first, _roll(a, -j, 1), _roll(a, j, 1)) for a in arrs
+        )
     e_k, p_k = arrs[0], partners[0]
     if stable:
-        # (key, idx) tuples are all distinct: lt == !gt when not eq; compute
-        # lexicographic gt and derive lt via the eq mask.
-        eq_k = e_k == p_k
-        p_gt_e = (p_k > e_k) | (eq_k & (partners[1] > arrs[1]))
+        p_gt_e = (p_k > e_k) | ((e_k == p_k) & (partners[1] > arrs[1]))
         p_lt_e = ~p_gt_e  # distinct tuples
     else:
         p_gt_e = p_k > e_k
         p_lt_e = p_k < e_k  # equal keys: neither side moves (same value anyway)
-    first = _first_mask(e_k.shape, j)
     # take partner's tuple iff (first == up) ? p<e : p>e. Expressed with pure
     # logical ops: Mosaic cannot lower i1 == i1 comparisons (trunci i8->i1).
     same = (first & up) | (~first & ~up)
@@ -115,52 +143,94 @@ def _ce_stage(arrs, stable, up, j):
     return tuple(jnp.where(take_partner, p, e) for e, p in zip(arrs, partners))
 
 
-def _stages_kernel(refs, *, n_arr, stable, stages, block_elems, base_scale, kernel_rows):
+def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
+                   dyn_k):
     """Run `stages` = [(k, j_local)] on one VMEM block of (kernel_rows, 128).
 
-    Direction for stage (k, j): up(i) = ((base + local) & k) == 0 where
-    base = program_id(0) * base_scale. Because base is a multiple of the
-    block's span in the k-relevant bits, (base+local)&k == (base&k)|(local&k).
+    Direction for stage (k, j): up(i) = ((base + local) & k) == 0 — the exact
+    bitonic direction bit of the element's global index, where
+    base = program_id(0) * base_scale. `k` per stage is either a static int
+    or None, meaning "read the round from the scalar operand" (dyn_k): merge
+    rounds differ ONLY in k, so passing it as data lets every round reuse one
+    compiled kernel instead of compiling log2(n/T) distinct ones.
     """
+    if dyn_k:
+        k_ref = refs[0]
+        refs = refs[1:]
     ins = refs[:n_arr]
     outs = refs[n_arr:]
     base = pl.program_id(0) * base_scale
     arrs = tuple(r[:].reshape(kernel_rows, LANES) for r in ins)
-    shape = (kernel_rows, LANES)
-    local = _local_index(shape)
     for k, j in stages:
-        base_bit = (base & k) == 0  # traced scalar
-        if k < block_elems:
-            up = base_bit & ((local & k) == 0)
+        if k is None:
+            k = k_ref[0]
+        if j >= LANES and USE_SLICING_CE:
+            # direction is constant within a pair group because k >= 2j
+            g = kernel_rows * LANES // (2 * j)
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0)
+            up = ((base + g_iota * (2 * j)) & k) == 0
+            arrs = _ce_sublane(arrs, stable, up, j, kernel_rows)
         else:
-            up = base_bit
-        arrs = _ce_stage(arrs, stable, up, j)
+            rid = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 1)
+            up = ((base + rid * LANES + cid) & k) == 0
+            arrs = _ce_roll(arrs, stable, up, j)
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 
 
 def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_scale,
-                 kernel_rows, block_elems, interpret):
+                 kernel_rows, block_elems, interpret, dyn_k=None):
+    del block_elems  # direction now uses the exact global-index formula
     n_arr = len(arrs)
+    per_call = max(8, MAX_ARRAY_STAGES_PER_CALL // n_arr)
+    if len(stages) > per_call:
+        for i in range(0, len(stages), per_call):
+            arrs = _run_network(
+                arrs, stable, stages[i : i + per_call],
+                grid=grid, block_shape=block_shape, index_map=index_map,
+                base_scale=base_scale, kernel_rows=kernel_rows,
+                block_elems=None, interpret=interpret, dyn_k=dyn_k,
+            )
+        return arrs
     kern = functools.partial(
         _stages_kernel,
         n_arr=n_arr,
         stable=stable,
         stages=stages,
-        block_elems=block_elems,
         base_scale=base_scale,
         kernel_rows=kernel_rows,
+        dyn_k=dyn_k is not None,
     )
     spec = pl.BlockSpec(block_shape, index_map)
+    in_specs = [spec] * n_arr
+    operands = list(arrs)
+    grid_rank = len(grid)
+    if dyn_k is not None:
+        smem_spec = pl.BlockSpec(
+            (1,), lambda *_: (0,), memory_space=pltpu.SMEM
+        )
+        in_specs = [smem_spec] + in_specs
+        operands = [jnp.full((1,), dyn_k, dtype=jnp.int32)] + operands
+        io_alias = {1 + i: i for i in range(n_arr)}
+    else:
+        io_alias = {i: i for i in range(n_arr)}
+    del grid_rank
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        )
     out = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=grid,
-        in_specs=[spec] * n_arr,
+        in_specs=in_specs,
         out_specs=[spec] * n_arr,
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs],
-        input_output_aliases={i: i for i in range(n_arr)},
+        input_output_aliases=io_alias,
         interpret=interpret,
-    )(*arrs)
+        **kwargs,
+    )(*operands)
     return tuple(out)
 
 
@@ -196,7 +266,7 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
     x = tuple(a.reshape(rows, LANES) for a in arrs)
     n_arr = len(x)
 
-    def run_contig(x, stages):
+    def run_contig(x, stages, dyn_k=None):
         return _run_network(
             x, stable, stages,
             grid=(rows // tile_rows,),
@@ -206,6 +276,7 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
             kernel_rows=tile_rows,
             block_elems=T,
             interpret=interpret,
+            dyn_k=dyn_k,
         )
 
     # Phase 1: fully sort each tile (alternating directions via the global
@@ -225,7 +296,12 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
 
 
 def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
-    """One bitonic merge round k: strides k/2 .. 1 over (rows, 128) arrays."""
+    """One bitonic merge round k: strides k/2 .. 1 over (rows, 128) arrays.
+
+    The round constant k is passed to the kernels as a scalar operand
+    (dyn_k), so all rounds with the same stride structure share one compiled
+    Mosaic kernel — compile time is O(1) in the number of merge rounds.
+    """
     # strides k/2 .. down: fused cross passes while the pair distance
     # exceeds what a contiguous tile can see (2j > T)
     j = k // 2
@@ -247,7 +323,7 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
         A = n // group
         x4 = tuple(a.reshape(A, 1 << c, m_lo // sub, sub, LANES) for a in x)
         # local strides: global j_lo * 2^s  <->  local rows sub * 2^s
-        stages = [(k, sub * (1 << s) * LANES) for s in range(c - 1, -1, -1)]
+        stages = [(None, sub * (1 << s) * LANES) for s in range(c - 1, -1, -1)]
         kernel_rows = (1 << c) * sub
         x4 = _run_network(
             x4, stable, stages,
@@ -258,12 +334,13 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
             kernel_rows=kernel_rows,
             block_elems=kernel_rows * LANES,
             interpret=interpret,
+            dyn_k=k,
         )
         x = tuple(a.reshape(rows, LANES) for a in x4)
         j = j_lo // 2
     # merge tail: strides j .. 1 inside contiguous tiles
     if j >= 1:
-        x = run_contig(x, [(k, jj) for jj in _halving(j)])
+        x = run_contig(x, [(None, jj) for jj in _halving(j)], dyn_k=k)
     return x
 
 
@@ -288,7 +365,7 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
 
     x = tuple(a.reshape(rows, LANES) for a in arrs)
 
-    def run_contig(x, stages):
+    def run_contig(x, stages, dyn_k=None):
         return _run_network(
             x, stable, stages,
             grid=(rows // tile_rows,),
@@ -298,6 +375,7 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
             kernel_rows=tile_rows,
             block_elems=T,
             interpret=interpret,
+            dyn_k=dyn_k,
         )
 
     # Round k = n: every local index i < n has (i & n) == 0, so the direction
