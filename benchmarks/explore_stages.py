@@ -1,16 +1,22 @@
-"""Microbenchmark: per-stage cost of the bitonic CE kernel variants on TPU.
+"""Microbenchmark: per-stage cost of bitonic CE kernel variants on real TPU.
 
-Isolates: (a) sublane slicing CE, (b) lane roll CE, (c) pure HBM copy —
-to find where the per-element-stage time goes. Run on the real chip.
+Isolates, each in ONE pallas_call over 16M elements:
+- HBM round-trip (0 stages) — the floor
+- 16 sublane roll-CE stages, 1 array (unstable) and 3 arrays (stable)
+- 16 lane roll-CE stages, same
+- 16 sublane slicing-CE stages (USE_SLICING_CE) — compile-time watch
+- dyn_k scalar-up merge stages
+
+Prints ms, us/stage, and effective G(element*stages)/s to compare against
+the VPU roofline (~3.8e12 u32 ops/s => ~N ops/element-stage).
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import functools
+import time
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+import numpy as np
 
 from tpu_radix_sort.runtime import device_time
 from tpu_radix_sort.ops import bitonic
@@ -21,8 +27,8 @@ TILE_ROWS = 1024
 T = TILE_ROWS * 128
 
 
-def run_stages(x, stages, n_arr=1, stable=False):
-    arrs = tuple(x for _ in range(n_arr))
+def run_stages(x, stages, n_arr=1, stable=False, dyn_k=None):
+    arrs = tuple(x + i for i in range(n_arr))
     out = bitonic._run_network(
         arrs, stable, stages,
         grid=(ROWS // TILE_ROWS,),
@@ -32,40 +38,44 @@ def run_stages(x, stages, n_arr=1, stable=False):
         kernel_rows=TILE_ROWS,
         block_elems=T,
         interpret=False,
+        dyn_k=dyn_k,
     )
     return out[0]
 
 
-def main():
+def bench(name, stages, n_arr=1, stable=False, dyn_k=None):
+    t0 = time.time()
+    f = jax.jit(lambda a: run_stages(a, stages, n_arr, stable, dyn_k))
     x = jax.random.bits(jax.random.PRNGKey(0), (ROWS, 128), dtype=jnp.uint32)
+    np.asarray(f(x).ravel()[0])
+    compile_s = time.time() - t0
+    t = device_time(f, x, k_lo=1, k_hi=5)
+    ns = max(1, len(stages))
+    print(f"{name:44s} {t*1e3:8.3f} ms  {t/ns*1e6:7.1f} us/st  "
+          f"{N*ns/t/1e9:7.1f} Gest/s  (compile {compile_s:.0f}s)", flush=True)
 
-    def bench(name, stages, n_arr=1, stable=False):
-        f = jax.jit(lambda a: run_stages(a, stages, n_arr, stable))
-        t = device_time(f, x, k_lo=1, k_hi=5)
-        per = t / len(stages) if stages else t
-        print(f"{name:40s} {t*1e3:8.3f} ms  {per*1e6:8.2f} us/stage  "
-              f"{N*len(max(stages,default=[1]))/1e9:.0f}", flush=True)
-        return t
 
-    # pure pass-through (1 'stage' that does nothing = HBM r/w cost)
-    f0 = jax.jit(lambda a: run_stages(a, [], 1, False))
-    t0 = device_time(f0, x, k_lo=1, k_hi=5)
-    print(f"{'hbm copy (0 stages)':40s} {t0*1e3:8.3f} ms", flush=True)
-
-    # 16 sublane stages at various strides (k=T so direction is per-block)
-    sub16 = [(T, 128 << (i % 10)) for i in range(16)]
-    bench("16 sublane stages (1 arr)", sub16)
-    bench("16 sublane stages (3 arr stable)", sub16, n_arr=3, stable=True)
-
-    # 16 lane stages
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    sub16 = [(T, 128 << (i % 9)) for i in range(16)]
     lane16 = [(T, 1 << (i % 7)) for i in range(16)]
-    bench("16 lane stages (1 arr)", lane16)
-    bench("16 lane stages (3 arr stable)", lane16, n_arr=3, stable=True)
+    dyn16 = [(None, 128 << (i % 9)) for i in range(16)]
 
-    # full phase-1 block sort stage list
-    p1 = bitonic._block_stages(2, T)
-    bench(f"phase1 block sort ({len(p1)} stages)", p1)
-    bench(f"phase1 block sort 3arr ({len(p1)})", p1, n_arr=3, stable=True)
+    bench("hbm copy (0 stages)", [])
+    bench("16 sublane roll (1 arr)", sub16)
+    bench("16 sublane roll (3 arr stable)", sub16, n_arr=3, stable=True)
+    bench("16 lane roll (1 arr)", lane16)
+    bench("16 lane roll (3 arr stable)", lane16, n_arr=3, stable=True)
+    bench("16 sublane dyn-k scalar-up (1 arr)", dyn16, dyn_k=1 << 25)
+    bench("16 sublane dyn-k scalar-up (3 arr)", dyn16, n_arr=3, stable=True,
+          dyn_k=1 << 25)
+
+    bitonic.USE_SLICING_CE = True
+    try:
+        bench("16 sublane SLICING (1 arr)", sub16)
+        bench("16 sublane SLICING (3 arr stable)", sub16, n_arr=3, stable=True)
+    finally:
+        bitonic.USE_SLICING_CE = False
 
 
 if __name__ == "__main__":

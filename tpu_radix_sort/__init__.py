@@ -17,7 +17,7 @@ from .api import (
 from .ops.checksort import disorder_count, is_sorted
 from .ops.scan import prefix_sum
 from .ops.sort import argsort, sort, sort_packed
-from .parallel import mesh_sort
+from .parallel import exchange_sort, mesh_sort
 
 __version__ = "0.1.0"
 
@@ -26,6 +26,7 @@ __all__ = [
     "argsort",
     "sort_packed",
     "mesh_sort",
+    "exchange_sort",
     "prefix_sum",
     "is_sorted",
     "disorder_count",

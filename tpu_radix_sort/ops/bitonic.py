@@ -50,11 +50,12 @@ DEFAULT_BLOCK_ROWS = 1024
 # Fused cross-stage geometry: 2^CROSS_C half-groups x CROSS_SUB rows each.
 CROSS_C = 6
 CROSS_SUB = 8
-# Compile-memory cap: Mosaic's compile RSS grows with the unrolled stage
-# count × array count; past ~200 array-stages the axon remote-compile helper
-# gets OOM-killed. Long stage lists are chunked into multiple pallas_calls
-# (each an extra HBM round-trip — bounded, ~1 ms per pass at 16M elements).
-MAX_ARRAY_STAGES_PER_CALL = 160
+# Compile cap: Mosaic's compile time/RSS grows superlinearly with the
+# unrolled stage count × array count (past ~200 array-stages the remote
+# compile helper gets OOM-killed). Runtime is flat in the chunk size
+# (measured cap 8..64: ±2%), so chunk small for fast compiles; each chunk
+# is an extra HBM round-trip (~0.2 ms/array-pass at 16M elements).
+MAX_ARRAY_STAGES_PER_CALL = 48
 # Sublane CE formulation: reshape+slice min/max (fewer VPU ops) vs cyclic
 # rolls. Slicing sends Mosaic's compile time pathological on real TPU
 # (4-D strided slices + stacks); rolls compile fast. Kept switchable for
@@ -108,38 +109,36 @@ def _ce_sublane(arrs, stable, up, j, kernel_rows):
     )
 
 
-def _ce_roll(arrs, stable, up, j):
+def _ce_roll(arrs, stable, up, j, rid, cid):
     """Compare-exchange at stride j via cyclic rolls (any j).
 
     partner[i] = x[i ^ j]: one fwd and one bwd roll selected by the pair-bit
     mask — a sublane roll for j >= 128, a lane roll below. `up` is a scalar
-    bool or full-shape mask.
+    bool or full-shape mask. rid/cid are hoisted row/lane iotas.
     """
-    shape = arrs[0].shape
     if j >= LANES:
         m = j // LANES
-        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         first = (rid & m) == 0  # bit m of row clear -> partner is +m rows
         partners = tuple(
             jnp.where(first, _roll(a, -m, 0), _roll(a, m, 0)) for a in arrs
         )
     else:
-        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         first = (cid & j) == 0
         partners = tuple(
             jnp.where(first, _roll(a, -j, 1), _roll(a, j, 1)) for a in arrs
         )
     e_k, p_k = arrs[0], partners[0]
+    # take partner's tuple iff (first == up) ? p<e : p>e. Expressed as XOR
+    # chains (Mosaic cannot lower i1 == i1; XOR is the cheap equivalent).
+    diff = first ^ up
     if stable:
-        p_gt_e = (p_k > e_k) | ((e_k == p_k) & (partners[1] > arrs[1]))
-        p_lt_e = ~p_gt_e  # distinct tuples
+        # tuples are distinct: p>e == !(p<e), so a single lexicographic
+        # compare feeds the whole decision: take = first ^ up ^ (p<e)
+        p_lt_e = (p_k < e_k) | ((e_k == p_k) & (partners[1] < arrs[1]))
+        take_partner = diff ^ p_lt_e
     else:
-        p_gt_e = p_k > e_k
-        p_lt_e = p_k < e_k  # equal keys: neither side moves (same value anyway)
-    # take partner's tuple iff (first == up) ? p<e : p>e. Expressed with pure
-    # logical ops: Mosaic cannot lower i1 == i1 comparisons (trunci i8->i1).
-    same = (first & up) | (~first & ~up)
-    take_partner = (same & p_lt_e) | (~same & p_gt_e)
+        # equal keys: neither side moves (same value anyway)
+        take_partner = ((p_k < e_k) & ~diff) | ((p_k > e_k) & diff)
     return tuple(jnp.where(take_partner, p, e) for e, p in zip(arrs, partners))
 
 
@@ -161,20 +160,31 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
     outs = refs[n_arr:]
     base = pl.program_id(0) * base_scale
     arrs = tuple(r[:].reshape(kernel_rows, LANES) for r in ins)
+    shape = (kernel_rows, LANES)
+    # hoist the index planes: one iota pair per kernel, not per stage
+    rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    local = base + rid * LANES + cid
+    up = None
+    prev_k = object()
     for k, j in stages:
-        if k is None:
-            k = k_ref[0]
-        if j >= LANES and USE_SLICING_CE:
-            # direction is constant within a pair group because k >= 2j
+        if k != prev_k:  # direction mask is per round: hoist across strides
+            if k is None:
+                # dynamic k is only used for merge rounds, where k >= the
+                # block span: the direction bit is constant per block.
+                up = (base & k_ref[0]) == 0
+            else:
+                up = (local & k) == 0
+            prev_k = k
+        if k is not None and j >= LANES and USE_SLICING_CE:
+            # slicing CE wants a (G,1,1) direction mask (constant per pair
+            # group since k >= 2j), not the full-shape one
             g = kernel_rows * LANES // (2 * j)
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0)
-            up = ((base + g_iota * (2 * j)) & k) == 0
-            arrs = _ce_sublane(arrs, stable, up, j, kernel_rows)
+            up_g = ((base + g_iota * (2 * j)) & k) == 0
+            arrs = _ce_sublane(arrs, stable, up_g, j, kernel_rows)
         else:
-            rid = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 0)
-            cid = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 1)
-            up = ((base + rid * LANES + cid) & k) == 0
-            arrs = _ce_roll(arrs, stable, up, j)
+            arrs = _ce_roll(arrs, stable, up, j, rid, cid)
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 

@@ -38,10 +38,13 @@ def _resolve_method(method: str) -> str:
     return method
 
 
-def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret):
+def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
+                 key_bits=32):
     """Sort by mkeys (stably if `stable`), co-permuting payloads.
 
     mkeys: u32 (n,); payloads: tuple of u32 (n,). Returns (mkeys, payloads).
+    `key_bits`: number of meaningful low bits in mkeys (the radix engine
+    skips passes over masked-out bits, `AbstractRadixSortKernel.ts:94`).
     """
     if method == "xla":
         ops = jax.lax.sort((mkeys, *payloads), num_keys=1, is_stable=stable)
@@ -51,7 +54,11 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret):
         from . import radix  # local import: optional engine
 
         return radix.sort_u32(
-            mkeys, payloads, block_rows=block_rows, interpret=interpret
+            mkeys,
+            payloads,
+            bit_count=key_bits,
+            block_rows=block_rows,
+            interpret=interpret,
         )
 
     # bitonic network engine: pad to pow2 multiple of 128 with sentinels;
@@ -121,6 +128,9 @@ def sort(
         method=method,
         block_rows=block_rows,
         interpret=interpret,
+        # the radix engine's pass count is static per bit_count; the
+        # comparison engines share one compilation across bit_counts
+        key_bits=bit_count if method == "radix" else 32,
     )
     return out if values is not None else out[0]
 
@@ -135,6 +145,7 @@ def sort(
         "method",
         "block_rows",
         "interpret",
+        "key_bits",
     ),
 )
 def _sort_jit(
@@ -149,6 +160,7 @@ def _sort_jit(
     method,
     block_rows,
     interpret,
+    key_bits=32,
 ):
     """Jitted sort core; one compiled pipeline per static configuration.
 
@@ -182,6 +194,7 @@ def _sort_jit(
             method=method,
             block_rows=block_rows,
             interpret=interpret,
+            key_bits=key_bits,
         )
         ps = list(ps)
         u_sorted = ps.pop(0) if carry_full_key else mk

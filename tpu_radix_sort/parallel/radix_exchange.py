@@ -1,0 +1,279 @@
+"""Distributed sort via exact-splitter radix exchange (single all-to-all).
+
+This is the SURVEY.md §7 "radix partitioning across a mesh" subsystem (no
+reference counterpart — the reference is single-GPU): keys are partitioned
+across shards by exact global-rank boundaries and exchanged once, instead of
+the log^2(D) full-data rounds of `mesh_sort`'s compare-split network.
+
+Phases (all inside one `shard_map`, all static-shape):
+
+1. **Local sort** by (key, global index) — the Pallas bitonic engine.
+2. **Exact splitter selection.** The boundary between shards d-1 and d is
+   the (key, idx) pair of global rank d*L. Because (key, idx) pairs are
+   distinct, rank boundaries are exact points even under adversarial key
+   skew (a Zipf hot bucket or all-equal keys change nothing) — this is the
+   "hot-bucket skew handling": balance comes from ranks, not key values.
+   Selection = distributed bisection: 32 rounds over the key domain, then
+   32 rounds over the index domain among key-ties; each round is a local
+   count on the sorted shard (vectorized searchsorted / binary probe) and
+   one tiny `psum`. All D-1 boundaries are found simultaneously.
+3. **One ragged all-to-all** (`jax.lax.ragged_all_to_all`): shard s sends
+   its elements in [B_d, B_{d+1}) to shard d. Send layout is contiguous
+   (data is sorted), receive sizes come from an all-gathered D x D size
+   matrix, and every shard receives EXACTLY L elements — rank ranges tile
+   the array. Payloads ride the same metadata.
+4. **Local re-sort** of the D received sorted chunks (bitonic; a D-way
+   merge is a future optimization).
+
+Communication: one data exchange + 64 scalar-vector collective rounds +
+one (D,D) all_gather — vs compare-split's log2(D)(log2(D)+1)/2 full-data
+exchanges. Compare-split wins at small D; this wins at pod scale.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import bitonic, common
+
+LANES = bitonic.LANES
+
+
+def _count_lt_key(sk, probes):
+    """Per-probe count of elements with key < probe (sk ascending)."""
+    return jnp.searchsorted(sk, probes, side="left").astype(jnp.uint32)
+
+
+def _count_le_key(sk, probes):
+    return jnp.searchsorted(sk, probes, side="right").astype(jnp.uint32)
+
+
+def _count_le_idx_in_ties(sk, si, key, probes):
+    """Per-probe count of elements with k == key[q] and idx <= probes[q].
+
+    sk/si sorted by (key, idx); key/probes are (Q,) vectors. Binary probe
+    over the tie run of each key (idx ascending within it).
+    """
+    lo = jnp.searchsorted(sk, key, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(sk, key, side="right").astype(jnp.int32)
+
+    def body(_, lohi):
+        l, h = lohi
+        mid = l + (h - l) // 2
+        mi = si[jnp.clip(mid, 0, si.shape[0] - 1)]
+        le = mi <= probes
+        take = (mid < h) & le
+        l = jnp.where(take, mid + 1, l)
+        h = jnp.where(take, h, mid)
+        return l, h
+
+    steps = max(1, int(si.shape[0]).bit_length())
+    l, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return (l - lo).astype(jnp.uint32)
+
+
+def _bisect_u32(count_gt_target):
+    """Smallest v (u32) with count_gt_target(v) True; count monotone in v."""
+    lo = jnp.zeros_like(count_gt_target(jnp.uint32(0)), jnp.uint32)
+    hi = jnp.full_like(lo, 0xFFFFFFFF)
+
+    def body(_, lohi):
+        l, h = lohi
+        mid = l + (h - l) // jnp.uint32(2)
+        gt = count_gt_target(mid)
+        return jnp.where(gt, l, mid + 1), jnp.where(gt, mid, h)
+
+    l, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return l
+
+
+def _select_boundaries(sk, si, targets, axis_name):
+    """Exact global-rank boundary pairs (K, I) for each target rank.
+
+    sk/si: local (L,) sorted by (key, idx). targets: (Q,) uint32 global
+    ranks. Returns (K, I) with global count of {(k,i) < (K,I)} == target.
+    """
+    # phase A: K = key of the rank-t element
+    def key_gt(v):
+        c = jax.lax.psum(_count_le_key(sk, v), axis_name)
+        return c > targets
+
+    K = _bisect_u32(key_gt)
+    # phase B: I = idx of the rank-t element among key == K ties
+    c_lt_key = jax.lax.psum(_count_lt_key(sk, K), axis_name)
+    t_ties = targets - c_lt_key
+
+    def idx_gt(v):
+        c = jax.lax.psum(_count_le_idx_in_ties(sk, si, K, v), axis_name)
+        return c > t_ties
+
+    I = _bisect_u32(idx_gt)
+    return K, I
+
+
+def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret):
+    """Per-shard body: local sort -> exact split -> ragged a2a -> re-sort."""
+    arrs = bitonic.sort_padded(
+        arrs, stable=True, block_rows=block_rows, interpret=interpret
+    )
+    if n_dev == 1:
+        return arrs
+    sk, si = arrs[0], arrs[1]
+    L = sk.shape[0]
+    me = jax.lax.axis_index(axis_name)
+
+    targets = (jnp.arange(1, n_dev, dtype=jnp.uint32)) * jnp.uint32(L)
+    K, I = _select_boundaries(sk, si, targets, axis_name)
+
+    # local split positions: count of (k,i) < (K_d, I_d)
+    s_mid = (
+        jnp.searchsorted(sk, K, side="left").astype(jnp.uint32)
+        + _count_le_idx_in_ties(sk, si, K, I - jnp.uint32(1))
+    ).astype(jnp.int32)
+    # careful: I-1 underflows when I == 0; ties with idx < I
+    s_mid = jnp.where(
+        I == 0,
+        jnp.searchsorted(sk, K, side="left").astype(jnp.int32),
+        s_mid,
+    )
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), s_mid])
+    ends = jnp.concatenate([s_mid, jnp.full((1,), L, jnp.int32)])
+    send_sizes = ends - starts
+
+    # size matrix: sizes[s, d] = what shard s sends to shard d
+    sizes = jax.lax.all_gather(send_sizes, axis_name)  # (D, D)
+    recv_sizes = sizes[:, me]
+    # my chunk to d lands after the chunks of lower-ranked shards
+    csum = jnp.cumsum(sizes, axis=0)
+    before_me = csum - sizes  # exclusive over source shards
+    out_offsets = jnp.take_along_axis(
+        before_me, jnp.broadcast_to(me, (1, n_dev)), axis=0
+    )[0].astype(jnp.int32)
+
+    out = []
+    if interpret:
+        # XLA:CPU has no ragged-all-to-all; emulate for the unit-test mesh:
+        # all_gather everything, then each shard assembles its chunks.
+        starts_g = jax.lax.all_gather(starts, axis_name)  # (D, D)
+        offs_g = jax.lax.all_gather(out_offsets, axis_name)  # (D, D)
+        pos = jnp.arange(L, dtype=jnp.int32)
+        for a in arrs:
+            full = jax.lax.all_gather(a, axis_name)  # (D, L)
+            buf = jnp.zeros((L,), a.dtype)
+            for s in range(n_dev):
+                off = offs_g[s, me]
+                sz = sizes[s, me]
+                src = jnp.take(
+                    full[s],
+                    jnp.clip(pos - off + starts_g[s, me], 0, L - 1),
+                )
+                buf = jnp.where((pos >= off) & (pos < off + sz), src, buf)
+            out.append(buf)
+    else:
+        for a in arrs:
+            buf = jnp.zeros((L,), a.dtype)
+            out.append(
+                jax.lax.ragged_all_to_all(
+                    a,
+                    buf,
+                    starts,
+                    send_sizes,
+                    out_offsets,
+                    recv_sizes,
+                    axis_name=axis_name,
+                )
+            )
+    # received: D sorted chunks concatenated -> local re-sort
+    return bitonic.sort_padded(
+        tuple(out), stable=True, block_rows=block_rows, interpret=interpret
+    )
+
+
+def exchange_sort(
+    keys,
+    values=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    count=None,
+    bit_count: int = 32,
+    total_order: bool = False,
+    block_rows=None,
+    interpret=None,
+):
+    """Distributed stable sort via exact-splitter radix exchange.
+
+    Same semantics and signature as :func:`mesh_sort` (first `count` sorted,
+    suffix untouched, low `bit_count` bits ordered, stable). One data
+    exchange; exactly balanced under any key distribution.
+    """
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    common.validate_bit_count(bit_count)
+    n = keys.shape[0]
+    count = n if count is None else int(count)
+    if not (0 <= count <= n):
+        raise ValueError(f"count {count} out of range for buffer of {n}")
+    if values is not None:
+        values = jnp.asarray(values)
+        if values.shape != keys.shape:
+            raise ValueError("values must match keys shape")
+    if interpret is None:
+        interpret = common.default_interpret()
+    n_dev = mesh.shape[axis_name]
+
+    if count <= 1:
+        return keys if values is None else (keys, values)
+
+    per = max(LANES, common.next_pow2(common.cdiv(count, n_dev)))
+    n_pad = per * n_dev
+
+    if total_order:
+        u_full = common.to_total_order_u32(keys[:count])
+    else:
+        u_full = common.to_sortable_u32(keys[:count])
+    masked = bit_count < 32
+    mkeys = u_full & common.bit_mask(bit_count)
+
+    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
+    idx = jnp.arange(n_pad, dtype=jnp.uint32)
+    arrs = [mk, idx]
+    if masked:
+        arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
+    if values is not None:
+        v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
+        arrs.append(common.pad_to(v_u32, n_pad, jnp.uint32(0)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _shard_exchange_sort,
+            axis_name=axis_name,
+            n_dev=n_dev,
+            block_rows=block_rows,
+            interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(tuple(P(axis_name) for _ in arrs),),
+        out_specs=tuple(P(axis_name) for _ in arrs),
+        check_vma=False,
+    )
+    out = fn(tuple(arrs))
+
+    u_sorted = (out[2] if masked else out[0])[:count]
+    if total_order:
+        out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+    else:
+        out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
+    if count < n:
+        out_keys = jnp.concatenate([out_keys, keys[count:]])
+    if values is None:
+        return out_keys
+    v_sorted = out[3 if masked else 2][:count]
+    out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
+    if count < n:
+        out_values = jnp.concatenate([out_values, values[count:]])
+    return out_keys, out_values
