@@ -36,3 +36,13 @@ def test_is_sorted_fast_gate(rng):
 def test_public_is_sorted_jits():
     f = jax.jit(lambda x: trs.is_sorted(x))
     assert bool(f(jnp.arange(100, dtype=jnp.uint32)))
+
+
+def test_disorder_count_pallas_path(rng):
+    """Sizes that hit the streaming Pallas reduction, incl. block boundary."""
+    for blocks in (1, 2):
+        n = checksort.PALLAS_MIN_ELEMENTS * blocks
+        u = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        expect = int(np.sum(u[:-1] > u[1:]))
+        assert int(checksort.disorder_count(jnp.asarray(u))) == expect
+        assert int(checksort.disorder_count(jnp.asarray(np.sort(u)))) == 0

@@ -269,7 +269,12 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
     n = arrs[0].shape[0]
     assert n >= LANES and (n & (n - 1)) == 0, f"padded length must be pow2 >= 128, got {n}"
     rows = n // LANES
-    block_rows = block_rows or DEFAULT_BLOCK_ROWS
+    if block_rows is None:
+        from ..utils import dispatch
+
+        block_rows = min(
+            DEFAULT_BLOCK_ROWS, dispatch.choose_block_rows(n, len(arrs))
+        )
     tile_rows = min(rows, block_rows)
     T = tile_rows * LANES
 
@@ -369,7 +374,12 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
     n = arrs[0].shape[0]
     assert n >= LANES and (n & (n - 1)) == 0, f"padded length must be pow2 >= 128, got {n}"
     rows = n // LANES
-    block_rows = block_rows or DEFAULT_BLOCK_ROWS
+    if block_rows is None:
+        from ..utils import dispatch
+
+        block_rows = min(
+            DEFAULT_BLOCK_ROWS, dispatch.choose_block_rows(n, len(arrs))
+        )
     tile_rows = min(rows, block_rows)
     T = tile_rows * LANES
 

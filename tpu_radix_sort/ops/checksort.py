@@ -8,25 +8,96 @@ with results steering GPU-side indirect-dispatch records
 (`src/shaders/CheckSort.ts:115-145`, `AbstractRadixSortKernel.ts:249-276`).
 
 On TPU the control flow inverts cleanly: the disorder reduction is a fused
-compare+reduce (one HBM-bound pass — XLA emits the tree reduction the WGSL
-writes by hand), and "zeroing the dispatch record" becomes `lax.cond` over
-the whole sort computation. The fast/full split is kept: the fast slice's
-verdict gates whether the full reduction runs at all.
+compare+reduce in a single streaming Pallas kernel (one HBM-bound pass —
+replacing the reference's multi-level reduction tree, whose levels exist
+only because GPU workgroups cannot communicate), and "zeroing the dispatch
+record" becomes `lax.cond` over the whole sort computation. The fast/full
+split is kept: the fast slice's verdict gates whether the full reduction
+runs at all. Small inputs use the plain XLA reduction.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import common
+
+LANES = 128
+BLOCK_ROWS = 2048
+# Below this, the XLA reduction is faster than a kernel launch.
+PALLAS_MIN_ELEMENTS = BLOCK_ROWS * LANES
 
 # Matches the reference's fast-check window: the first min(count, 4*threads)
 # elements with the default 256-thread workgroup (AbstractRadixSortKernel.ts:139).
 FAST_CHECK_ELEMENTS = 1024
 
 
-def disorder_count(u: jax.Array) -> jax.Array:
-    """Number of adjacent inversions in a 1-D u32 array (0 == sorted)."""
-    if u.shape[0] < 2:
+def _disorder_kernel(x_ref, o_ref, acc, *, rows):
+    """Per block: inversions within the block + the block-boundary pair.
+
+    The element after each position i is at i+1 = a row-major left-shift by
+    one: lane-roll by 1 with the wrapped lane pulling from the next row.
+    The final lane of the final row is masked (its successor is the next
+    block's first element, counted by that block's boundary term).
+    """
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[0] = jnp.uint32(0)
+
+    x = x_ref[:]
+    nxt = pltpu.roll(x, LANES - 1, axis=1)  # lane l <- lane (l+1)%128
+    nxt_rows = pltpu.roll(nxt, rows - 1, axis=0)  # row r <- row r+1
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    nxt = jnp.where(lane < LANES - 1, nxt, nxt_rows)
+    valid = (lane < LANES - 1) | (rid < rows - 1)
+    bad = (x > nxt) & valid
+    # block boundary: last element vs next block's first (next grid step's
+    # x[0,0]) is handled by comparing this block's first element against the
+    # carried previous-block last element.
+    prev_last = acc[1]
+    boundary = jnp.where(
+        b > 0, (prev_last > x[0, 0]).astype(jnp.uint32), jnp.uint32(0)
+    )
+    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.uint32)) + boundary
+    acc[1] = x[rows - 1, LANES - 1]
+    o_ref[0] = acc[0]
+
+
+def _disorder_pallas(u2d, *, interpret):
+    rows = u2d.shape[0]
+    block = min(rows, BLOCK_ROWS)
+    return pl.pallas_call(
+        functools.partial(_disorder_kernel, rows=block),
+        grid=(rows // block,),
+        in_specs=[pl.BlockSpec((block, LANES), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.uint32)],
+        interpret=interpret,
+    )(u2d)[0]
+
+
+def disorder_count(u: jax.Array, *, interpret=None) -> jax.Array:
+    """Number of adjacent inversions in a 1-D u32 array (0 == sorted).
+
+    Large inputs run the streaming Pallas reduction (the reference's
+    `check_sort` kernel, `src/shaders/CheckSort.ts:70-113`, collapsed to one
+    pass); small ones use the XLA reduction.
+    """
+    n = u.shape[0]
+    if n < 2:
         return jnp.uint32(0)
+    if interpret is None:
+        interpret = common.default_interpret()
+    if n >= PALLAS_MIN_ELEMENTS and n % (BLOCK_ROWS * LANES) == 0:
+        return _disorder_pallas(u.reshape(-1, LANES), interpret=interpret)
     return jnp.sum((u[:-1] > u[1:]).astype(jnp.uint32))
 
 
