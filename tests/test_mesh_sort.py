@@ -19,9 +19,18 @@ def make_mesh(n):
     return Mesh(np.array(devs), ("x",))
 
 
-@pytest.mark.parametrize("n_dev", [1, 2, 8])
-@pytest.mark.parametrize("n", [256, 1000, 4096, 20000])
+@pytest.mark.parametrize("n_dev,n", [(1, 256), (2, 1000), (8, 4096), (8, 20000)])
 def test_mesh_sort_keys(rng, n_dev, n):
+    mesh = make_mesh(n_dev)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(keys)), mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("n", [256, 1000, 4096, 20000])
+def test_mesh_sort_keys_full_matrix(rng, n_dev, n):
     mesh = make_mesh(n_dev)
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     got = mesh_sort(sharded(mesh, "x", jnp.asarray(keys)), mesh=mesh)

@@ -21,8 +21,7 @@ def make_mesh(n):
     return Mesh(np.array(devs), ("x",))
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
-@pytest.mark.parametrize("n", [512, 20000])
+@pytest.mark.parametrize("n_dev,n", [(2, 512), (8, 20000)])
 def test_exchange_sort_keys(rng, n_dev, n):
     mesh = make_mesh(n_dev)
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)

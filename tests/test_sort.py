@@ -225,3 +225,17 @@ def test_input_validation():
         trs.sort(jnp.zeros(8, jnp.uint32), jnp.zeros(4, jnp.uint32))
     with pytest.raises(ValueError):
         trs.sort(jnp.zeros(8, jnp.uint32), method="bogus")
+
+
+def test_transposed_lane_stage_path(rng, monkeypatch):
+    """Cover the compiled-mode transpose bracketing under interpret."""
+    from tpu_radix_sort.ops import bitonic
+
+    monkeypatch.setattr(bitonic, "_TEST_TRANSPOSE_IN_INTERPRET", True)
+    n = 2000
+    k = _rand_keys(rng, n, hi=300)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method="bitonic")
+    rk, rv = golden_sort(k, v)
+    assert np.array_equal(np.asarray(ok), rk)
+    assert np.array_equal(np.asarray(ov), rv)

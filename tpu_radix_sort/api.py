@@ -53,6 +53,7 @@ class RadixSortKernel:
         bit_count: int = 32,
         check_order: bool = False,
         total_order: bool = False,
+        descending: bool = False,
         key_dtype=jnp.uint32,
         value_dtype=jnp.uint32,
         method: str = "auto",
@@ -75,6 +76,7 @@ class RadixSortKernel:
             bit_count=self.bit_count,
             check_order=self.check_order,
             total_order=total_order,
+            descending=descending,
             method=method,
             block_rows=block_rows,
         )

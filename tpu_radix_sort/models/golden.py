@@ -48,8 +48,13 @@ def golden_sort(
     *,
     count: int | None = None,
     bit_count: int = 32,
+    descending: bool = False,
 ):
-    """Reference-semantics sort. Returns (keys, values) or keys if values is None."""
+    """Reference-semantics sort. Returns (keys, values) or keys if values is None.
+
+    `descending` is this repo's extension (the reference is ascending-only):
+    stable descending = stable ascending of the bit-flipped masked key.
+    """
     keys = np.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
@@ -62,7 +67,10 @@ def golden_sort(
 
     u = _bit_pattern_u32(keys)
     mask = np.uint32(0xFFFFFFFF) if bit_count == 32 else np.uint32((1 << bit_count) - 1)
-    order = np.argsort(u[:n] & mask, kind="stable")
+    mk = u[:n] & mask
+    if descending:
+        mk = mk ^ mask
+    order = np.argsort(mk, kind="stable")
 
     out_keys = keys.copy()
     out_keys[:n] = keys[:n][order]

@@ -65,6 +65,13 @@ USE_SLICING_CE = False
 # 1024-row blocks needs ~16.5 MB of live stage temporaries. v5e has 128 MB
 # of physical VMEM — raise the cap and leave headroom for double buffering.
 VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+# Bracket runs of lane-stride stages (j < 128) with in-VMEM transposes so
+# they become sublane strides on the transposed view: lane rolls are the
+# costliest CE primitive (DESIGN.md per-op table). Compiled-mode only
+# (interpret emulation pays for the transposes); tests force it on via
+# _TEST_TRANSPOSE_IN_INTERPRET to cover the path.
+TRANSPOSE_LANE_STAGES = True
+_TEST_TRANSPOSE_IN_INTERPRET = False
 
 
 def _roll(x, shift, axis):
@@ -143,7 +150,7 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
 
 
 def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
-                   dyn_k):
+                   dyn_k, transpose_lanes=True):
     """Run `stages` = [(k, j_local)] on one VMEM block of (kernel_rows, 128).
 
     Direction for stage (k, j): up(i) = ((base + local) & k) == 0 — the exact
@@ -165,25 +172,42 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     local = rid * LANES + cid  # base-free: bits below the block span
+    # transposed view (LANES, kernel_rows): lane strides become sublane.
+    # rid_t = original lane, cid_t = original row; local index unchanged.
+    shape_t = (LANES, kernel_rows)
+    rid_t = jax.lax.broadcasted_iota(jnp.int32, shape_t, 0)
+    cid_t = jax.lax.broadcasted_iota(jnp.int32, shape_t, 1)
+    local_t = cid_t * LANES + rid_t
     span = kernel_rows * LANES
+    transposed = False
+
+    def direction(k, tr):
+        if k is None:
+            # dynamic k is only used for merge rounds, where k >= the
+            # block span: the direction bit is constant per block.
+            return (base & k_ref[0]) == 0
+        if k < span:
+            # base is a multiple of the span, so (base & k) == 0: the
+            # direction is a compile-time-constant mask (no traced base).
+            return ((local_t if tr else local) & k) == 0
+        return (base & k) == 0  # scalar
+
     up = None
-    prev_k = object()
+    prev = (object(), False)
     for k, j in stages:
-        if k != prev_k:  # direction mask is per round: hoist across strides
-            if k is None:
-                # dynamic k is only used for merge rounds, where k >= the
-                # block span: the direction bit is constant per block.
-                up = (base & k_ref[0]) == 0
-            elif k < span:
-                # base is a multiple of the span, so (base & k) == 0: the
-                # direction is a COMPILE-TIME constant mask — keeping the
-                # traced base out lets Mosaic fold it into the selects
-                # (measured 2x per-stage win vs a runtime mask).
-                up = (local & k) == 0
-            else:
-                up = (base & k) == 0  # scalar
-            prev_k = k
-        if k is not None and j >= LANES and USE_SLICING_CE:
+        is_lane = j < LANES
+        want_t = transpose_lanes and is_lane and kernel_rows > 1
+        if want_t != transposed:
+            arrs = tuple(jnp.transpose(a) for a in arrs)
+            transposed = want_t
+        if (k, transposed) != prev:  # direction mask is per round
+            up = direction(k, transposed)
+            prev = (k, transposed)
+        if transposed:
+            # lane stride j -> sublane stride of j rows on the transposed
+            # view; first-mask bit j now lives in rid_t
+            arrs = _ce_roll(arrs, stable, up, j * LANES, rid_t, cid_t)
+        elif k is not None and j >= LANES and USE_SLICING_CE:
             # slicing CE wants a (G,1,1) direction mask (constant per pair
             # group since k >= 2j), not the full-shape one
             g = kernel_rows * LANES // (2 * j)
@@ -192,6 +216,8 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             arrs = _ce_sublane(arrs, stable, up_g, j, kernel_rows)
         else:
             arrs = _ce_roll(arrs, stable, up, j, rid, cid)
+    if transposed:
+        arrs = tuple(jnp.transpose(a) for a in arrs)
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 
@@ -218,6 +244,10 @@ def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_sca
         base_scale=base_scale,
         kernel_rows=kernel_rows,
         dyn_k=dyn_k is not None,
+        # a compiled-mode perf win (fused by Mosaic); in interpret mode the
+        # extra transposes just slow the Python emulation ~2x
+        transpose_lanes=TRANSPOSE_LANE_STAGES
+        and (not interpret or _TEST_TRANSPOSE_IN_INTERPRET),
     )
     spec = pl.BlockSpec(block_shape, index_map)
     in_specs = [spec] * n_arr

@@ -65,7 +65,8 @@ def _disorder_kernel(x_ref, o_ref, acc, *, rows):
     boundary = jnp.where(
         b > 0, (prev_last > x[0, 0]).astype(jnp.uint32), jnp.uint32(0)
     )
-    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.uint32)) + boundary
+    # Mosaic has no unsigned reductions: sum the indicator in i32
+    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.int32)).astype(jnp.uint32) + boundary
     acc[1] = x[rows - 1, LANES - 1]
     o_ref[0] = acc[0]
 

@@ -51,9 +51,13 @@ R = 1 << RADIX_BITS  # 4-way, reference-faithful (src/shaders/RadixSort.ts:61)
 
 
 def _hist_kernel(x_ref, o_ref, *, bit, rows):
+    # counts are scalars: write them through SMEM (a (R, 1) VMEM block would
+    # violate the (8, 128) tiling minimum of the Mosaic lowering)
+    b = pl.program_id(0)
     dig = (x_ref[:] >> jnp.uint32(bit)) & jnp.uint32(R - 1)
     for r in range(R):
-        o_ref[r, 0] = jnp.sum((dig == r).astype(jnp.uint32))
+        # Mosaic has no unsigned reductions: sum in i32, store as u32
+        o_ref[r, b] = jnp.sum((dig == r).astype(jnp.int32)).astype(jnp.uint32)
 
 
 def digit_histogram(u, *, bit, block_rows=None, interpret=None):
@@ -70,7 +74,7 @@ def digit_histogram(u, *, bit, block_rows=None, interpret=None):
         functools.partial(_hist_kernel, bit=bit, rows=block_rows),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((block_rows, LANES), lambda b: (b, 0))],
-        out_specs=pl.BlockSpec((R, 1), lambda b: (0, b)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((R, nblocks), jnp.uint32),
         interpret=interpret,
     )(u)
@@ -137,13 +141,14 @@ def _reorder_kernel(offs_ref, *refs, n_arr, bit, rows, out_pad_rows):
         # elements before it). LSB-first shifting by its bits is
         # collision-free (DESIGN.md).
         deficit = (jnp.asarray(idx, jnp.uint32) - (inc - mask_u)) * mask_u
-        kept = mask
+        # masks stay u32 0/1: Mosaic cannot roll i1 vectors
+        kept_u = mask_u
         d = deficit
         data = data0
         s = 1
         log_s = 0
         while s < n_local:
-            mv = kept & (((d >> jnp.uint32(log_s)) & jnp.uint32(1)) == 1)
+            mv_u = kept_u * ((d >> jnp.uint32(log_s)) & jnp.uint32(1))
 
             if s >= LANES:
                 # whole-row shift: no lane boundary crossing
@@ -158,10 +163,11 @@ def _reorder_kernel(offs_ref, *refs, n_arr, bit, rows, out_pad_rows):
                     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
                     return jnp.where(lane < LANES - _s, r1, r2)
 
-            arrived = shl(mv)
+            arrived_u = shl(mv_u)
+            arrived = arrived_u == 1
             data = tuple(jnp.where(arrived, shl(a), a) for a in data)
             d = jnp.where(arrived, shl(d), d)
-            kept = arrived | (kept & ~mv)
+            kept_u = arrived_u | (kept_u & (jnp.uint32(1) - mv_u))
             s *= 2
             log_s += 1
         # runs now left-packed in `data`[:cnt]; window read-merge-write

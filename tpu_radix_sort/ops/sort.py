@@ -86,14 +86,17 @@ def sort(
     bit_count: int = 32,
     check_order: bool = False,
     total_order: bool = False,
+    descending: bool = False,
     method: str = "auto",
     block_rows=None,
     interpret=None,
 ):
-    """Stable ascending sort with the reference's semantics.
+    """Stable sort with the reference's semantics (ascending by default).
 
     Returns sorted keys, or (keys, values) when values is given. Elements at
-    index >= count are returned untouched.
+    index >= count are returned untouched. `descending=True` is an extension
+    past the reference (which is ascending-only, `README.md:94`): stable
+    descending via an ascending sort of the bit-flipped masked key.
     """
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
@@ -125,6 +128,7 @@ def sort(
         masked=bit_count < 32,
         check_order=check_order,
         total_order=total_order,
+        descending=descending,
         method=method,
         block_rows=block_rows,
         interpret=interpret,
@@ -142,6 +146,7 @@ def sort(
         "masked",
         "check_order",
         "total_order",
+        "descending",
         "method",
         "block_rows",
         "interpret",
@@ -157,6 +162,7 @@ def _sort_jit(
     masked,
     check_order,
     total_order,
+    descending=False,
     method,
     block_rows,
     interpret,
@@ -176,6 +182,10 @@ def _sort_jit(
     else:
         u_full = common.to_sortable_u32(keys[:count])
     mkeys = u_full & mask
+    if descending:
+        # stable descending == stable ascending on the flipped masked key
+        # (flipped keys equal <=> keys equal, so stability carries over)
+        mkeys = mkeys ^ mask
 
     carry_full_key = masked
     stable = carry_full_key or values is not None
@@ -197,7 +207,10 @@ def _sort_jit(
             key_bits=key_bits,
         )
         ps = list(ps)
-        u_sorted = ps.pop(0) if carry_full_key else mk
+        if carry_full_key:
+            u_sorted = ps.pop(0)
+        else:
+            u_sorted = mk ^ mask if descending else mk
         out = [u_sorted]
         if values is not None:
             out.append(ps.pop(0))
