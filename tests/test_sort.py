@@ -239,3 +239,53 @@ def test_transposed_lane_stage_path(rng, monkeypatch):
     rk, rv = golden_sort(k, v)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
+
+
+def test_values_are_ranks_byte_exact(rng):
+    """The rank-payload fast path (2-array engine) must be byte-identical to
+    the generic 3-array path under heavy key duplication — the case where a
+    wrong tie-break shows immediately."""
+    n = 5000
+    k = _rand_keys(rng, n, hi=40)  # ~125 duplicates per key
+    v = np.arange(n, dtype=np.uint32)
+    kj, vj = jnp.asarray(k), jnp.asarray(v)
+    rk, rv = golden_sort(k, v)
+    ok, ov = trs.sort(kj, vj, values_are_ranks=True)
+    assert np.array_equal(np.asarray(ok), rk)
+    assert np.array_equal(np.asarray(ov), rv)
+    # masked bit_count (full key rides as an extra payload)
+    rk8, rv8 = golden_sort(k, v, bit_count=8)
+    ok8, ov8 = trs.sort(kj, vj, bit_count=8, values_are_ranks=True)
+    assert np.array_equal(np.asarray(ok8), rk8)
+    assert np.array_equal(np.asarray(ov8), rv8)
+    # sub-count sort: suffix untouched, prefix stable
+    c = 3000
+    rkc, rvc = golden_sort(k, v, count=c)
+    okc, ovc = trs.sort(kj, vj, count=c, values_are_ranks=True)
+    assert np.array_equal(np.asarray(okc), rkc)
+    assert np.array_equal(np.asarray(ovc), rvc)
+
+
+def test_values_are_ranks_descending(rng):
+    n = 2048
+    k = _rand_keys(rng, n, hi=30)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), descending=True,
+                      values_are_ranks=True)
+    # stable descending golden: argsort of flipped keys
+    order = np.argsort(0xFFFFFFFF - k.astype(np.uint64), kind="stable")
+    assert np.array_equal(np.asarray(ok), k[order])
+    assert np.array_equal(np.asarray(ov), v[order])
+
+
+def test_values_are_ranks_max_keys(rng):
+    """Real elements with key 0xFFFFFFFF must still precede the sentinel
+    padding (pad tie-break is 0xFFFFFFFF; real ranks are < count)."""
+    n = 1000  # pads to 1024: 24 sentinels behind 0xFFFFFFFF keys
+    k = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    k[rng.integers(0, n, 200)] = _rand_keys(rng, 200)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), values_are_ranks=True)
+    rk, rv = golden_sort(k, v)
+    assert np.array_equal(np.asarray(ok), rk)
+    assert np.array_equal(np.asarray(ov), rv)

@@ -54,6 +54,7 @@ class RadixSortKernel:
         check_order: bool = False,
         total_order: bool = False,
         descending: bool = False,
+        values_are_ranks: bool = False,
         key_dtype=jnp.uint32,
         value_dtype=jnp.uint32,
         method: str = "auto",
@@ -77,6 +78,7 @@ class RadixSortKernel:
             check_order=self.check_order,
             total_order=total_order,
             descending=descending,
+            values_are_ranks=values_are_ranks,
             method=method,
             block_rows=block_rows,
         )

@@ -126,6 +126,11 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
     if j >= LANES:
         m = j // LANES
         first = (rid & m) == 0  # bit m of row clear -> partner is +m rows
+        # partner[r] = x[r ^ m]. NOTE: within each group of 2m rows this is
+        # a grouped cyclic roll — reshape (R,C)->(R/2m,2m,C), roll axis=1 by
+        # m — which is 1 roll instead of 2 rolls + select. Measured on v5e:
+        # Mosaic lowers the 3-D roll ~2.6x SLOWER than the pair below
+        # (4M k+v 6.2 -> 16.0 ms), so the two-roll form stays.
         partners = tuple(
             jnp.where(first, _roll(a, -m, 0), _roll(a, m, 0)) for a in arrs
         )
@@ -143,8 +148,13 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
         # compare feeds the whole decision: take = first ^ up ^ (p<e)
         p_lt_e = (p_k < e_k) | ((e_k == p_k) & (partners[1] < arrs[1]))
         take_partner = diff ^ p_lt_e
+    elif len(arrs) == 1:
+        # keys-only: swapping an equal pair is byte-identical (same value
+        # both sides), so the strict three-way decision collapses to the
+        # same 2-op XOR chain as the stable path
+        take_partner = diff ^ (p_k < e_k)
     else:
-        # equal keys: neither side moves (same value anyway)
+        # equal keys with co-moving payloads: neither side moves
         take_partner = ((p_k < e_k) & ~diff) | ((p_k > e_k) & diff)
     return tuple(jnp.where(take_partner, p, e) for e, p in zip(arrs, partners))
 

@@ -218,8 +218,8 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, offs: (b, 0))]
         * n_arr
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_arr,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_arr,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
         scratch_shapes=[
             pltpu.VMEM((n_arr, block_rows + 1, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
