@@ -34,6 +34,9 @@ def main():
                    help="bits to sort on, multiple of 4 in 4..32")
     p.add_argument("--values", action="store_true",
                    help="sort key+value pairs (default keys-only)")
+    p.add_argument("--ranks", action="store_true",
+                   help="promise values are strictly-increasing ranks "
+                        "(argsort payload): 2-array fast path")
     p.add_argument("--sorted", action="store_true", dest="presorted",
                    help="initial data already sorted (reference 'Sorted' mode)")
     p.add_argument("--check-order", action="store_true",
@@ -58,6 +61,7 @@ def main():
         has_values=args.values,
         bit_count=args.bit_count,
         check_order=args.check_order,
+        values_are_ranks=args.ranks,
         method=args.method,
     )
 
