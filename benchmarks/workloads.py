@@ -31,7 +31,7 @@ def bench(name, fn, x, n, check=None):
         ok = True
     t = device_time(f, x, k_lo=1, k_hi=3)
     if t < 2e-3:  # sub-ms ops need a longer chain for a clean slope
-        t = device_time(f, x, k_lo=10, k_hi=50)
+        t = device_time(f, x, k_lo=20, k_hi=220)
     print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
           flush=True)
 
