@@ -187,8 +187,12 @@ def test_randomized_matrix(rng, method):
         kj = jnp.asarray(k)
         if with_values:
             v = np.arange(n, dtype=np.uint32)
+            # the iota payload always satisfies the rank contract: flip the
+            # 2-array fast path on randomly to sweep it through the matrix
+            ranks = bool(rng.integers(0, 2))
             ok, ov = trs.sort(kj, jnp.asarray(v), count=count, bit_count=bit_count,
-                              check_order=check_order, method=method)
+                              check_order=check_order, method=method,
+                              values_are_ranks=ranks)
             rk, rv = golden_sort(k, v, count=count, bit_count=bit_count)
             assert np.array_equal(np.asarray(ok), rk), (n, count, bit_count, dtype)
             assert np.array_equal(np.asarray(ov), rv), (n, count, bit_count, dtype)
