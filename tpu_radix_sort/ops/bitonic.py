@@ -309,7 +309,12 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
 
     Arrays must be 1-D u32 of identical power-of-two length >= 128 (pad with
     0xFFFFFFFF sentinels upstream; they sort to the tail). Returns the arrays
-    co-permuted. When `stable`, arrs[1] must be a unique tie-break index.
+    co-permuted. When `stable`, arrs[1] is the tie-break: real elements'
+    (arrs[0], arrs[1]) tuples must be pairwise distinct (e.g. a unique index
+    or a strictly-increasing rank payload). Sentinel pad elements may share
+    the tuple (SENTINEL, SENTINEL) ONLY if they are identical across ALL
+    arrays — equal-tuple exchanges then resolve arbitrarily but are byte
+    no-ops (the rank-payload path in ops/sort.py relies on this).
     """
     if interpret is None:
         interpret = common.default_interpret()

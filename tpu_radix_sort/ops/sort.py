@@ -81,7 +81,9 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
         ordered = [payloads[rank_payload]] + [
             p for i, p in enumerate(payloads) if i != rank_payload
         ]
-        arrs.append(common.pad_to(ordered[0], n_pad, jnp.uint32(0xFFFFFFFF)))
+        # pad tie = pad key = SENTINEL_U32: real max-key elements precede
+        # pads because their rank is < 0xFFFFFFFF (the contract)
+        arrs.append(common.pad_to(ordered[0], n_pad, common.SENTINEL_U32))
         arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered[1:]]
     else:
         if stable:
@@ -92,10 +94,9 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
     )
     k = out[0][:n]
     if use_rank:
-        rest = list(out[2:])
-        tail = []
-        for i in range(len(payloads)):
-            tail.append(out[1] if i == rank_payload else rest.pop(0))
+        # ordered[] only moved the rank payload to the front; undo that
+        tail = list(out[2:])
+        tail.insert(rank_payload, out[1])
     else:
         tail = out[2:] if stable else out[1:]
     return k, tuple(p[:n] for p in tail)
