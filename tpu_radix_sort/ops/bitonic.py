@@ -145,7 +145,10 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
     diff = first ^ up
     if stable:
         # tuples are distinct: p>e == !(p<e), so a single lexicographic
-        # compare feeds the whole decision: take = first ^ up ^ (p<e)
+        # compare feeds the whole decision: take = first ^ up ^ (p<e).
+        # (The select form `where(eq, idx-lt, key-lt)` would be one op
+        # fewer, but Mosaic cannot lower an i1-valued select: "Unsupported
+        # target bitwidth for truncation" i8->i1, measured 2026-08-16.)
         p_lt_e = (p_k < e_k) | ((e_k == p_k) & (partners[1] < arrs[1]))
         take_partner = diff ^ p_lt_e
     elif len(arrs) == 1:
