@@ -86,6 +86,20 @@ def main():
           lambda kv: tuple(trs.sort(*kv, values_are_ranks=True)), (k, v), n,
           check=chk)
 
+    # the standalone public prefix-scan op (the reference's PrefixSumKernel,
+    # src/kernels/PrefixSumKernel.ts) vs XLA's own cumsum on the same chip
+    n = 1 << 24
+    x = jnp.asarray(rng.integers(0, 8, n, dtype=np.uint64).astype(np.uint32))
+    xs = np.cumsum(np.asarray(x), dtype=np.uint32)
+    ref_scan = np.concatenate([[np.uint32(0)], xs[:-1]]).astype(np.uint32)
+    bench("16M u32 exclusive prefix scan (Pallas)",
+          lambda a: trs.prefix_sum(a), x, n,
+          check=lambda ls: np.array_equal(ls[0], ref_scan))
+    bench("16M u32 exclusive prefix scan (XLA cumsum)",
+          lambda a: jnp.concatenate(
+              [jnp.zeros(1, jnp.uint32), jnp.cumsum(a)[:-1]]), x, n,
+          check=lambda ls: np.array_equal(ls[0], ref_scan))
+
     # the 4-way LSD radix compatibility engine (method='radix'), documented
     # honestly at 4M (DESIGN.md: its in-VMEM compaction is VPU-costlier)
     n = 1 << 22
