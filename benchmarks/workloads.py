@@ -30,7 +30,8 @@ def bench(name, fn, x, n, check=None):
         np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         ok = True
     t = device_time(f, x, k_lo=1, k_hi=3)
-    if t < 2e-3:  # sub-ms ops need a longer chain for a clean slope
+    if t < 5e-3:  # few-ms ops need a longer chain for a clean slope: the
+        # fixed ~25-30 ms host-sync cost swamps a 2-iteration delta
         t = device_time(f, x, k_lo=20, k_hi=220)
     print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
           flush=True)
