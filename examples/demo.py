@@ -45,8 +45,18 @@ def main():
                    help="number of consecutive sorts to average (1..20)")
     p.add_argument("--method", default="auto",
                    choices=["auto", "bitonic", "radix", "xla"])
+    p.add_argument("--block-rows", type=int, default=None,
+                   help="engine tile height (the reference's workgroup-size "
+                        "slider, example/index.ts:199-206); default: "
+                        "VMEM-budgeted")
+    p.add_argument("--packed", action="store_true",
+                   help="sort packed (key,value) records in a 2-D layout "
+                        "(the reference's texture-mode runner, "
+                        "example/index.ts:96-119)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    if args.packed and args.values:
+        p.error("--packed implies key+value records; drop --values")
 
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)
@@ -56,17 +66,35 @@ def main():
     keys = jnp.asarray(keys_np)
     values = jnp.arange(args.n, dtype=jnp.uint32) if args.values else None
 
-    kern = trs.RadixSortKernel(
-        count=args.n,
-        has_values=args.values,
-        bit_count=args.bit_count,
-        check_order=args.check_order,
-        values_are_ranks=args.ranks,
-        method=args.method,
-    )
+    if args.packed:
+        # texture-mode parity: records laid out 2-D, width <= 8192 like the
+        # reference's bufferToTexture (src/utils.ts:45-68)
+        w = next(w for w in (8192, 4096, 1024, 128, 1) if args.n % w == 0)
+        packed = jnp.stack(
+            [keys, jnp.arange(args.n, dtype=jnp.uint32)], axis=-1
+        ).reshape(args.n // w, w, 2)
+        kern = trs.RadixSortPackedKernel(
+            count=args.n,
+            bit_count=args.bit_count,
+            check_order=args.check_order,
+            method=args.method,
+            block_rows=args.block_rows,
+        )
+    else:
+        kern = trs.RadixSortKernel(
+            count=args.n,
+            has_values=args.values,
+            bit_count=args.bit_count,
+            check_order=args.check_order,
+            values_are_ranks=args.ranks,
+            method=args.method,
+            block_rows=args.block_rows,
+        )
 
     t0 = time.time()
-    if args.values:
+    if args.packed:
+        np.asarray(kern.dispatch(packed))
+    elif args.values:
         out = kern.dispatch(keys, values)
         np.asarray(out[0])
     else:
@@ -75,7 +103,10 @@ def main():
     print(f"compile+first run: {time.time() - t0:.1f}s")
 
     # device timing (slope method = the reference's timestamp queries)
-    if args.values:
+    if args.packed:
+        step = lambda x: kern.dispatch(x)
+        x = packed
+    elif args.values:
         step = lambda kv: tuple(kern.dispatch(*kv))
         x = (keys, values)
     else:
@@ -86,13 +117,14 @@ def main():
     # CPU baseline (reference compares against Array.prototype.sort,
     # example/index.ts:147-151; ours is the native C++ radix sort)
     t0 = time.perf_counter()
-    if args.values:
+    if args.values or args.packed:
         cpu_sort(keys_np, np.arange(args.n, dtype=np.uint32))
     else:
         cpu_sort(keys_np)
     t_cpu = time.perf_counter() - t0
 
-    kind = "key+value" if args.values else "keys-only"
+    kind = "packed records" if args.packed else (
+        "key+value" if args.values else "keys-only")
     print(f"\n  n={args.n:,}  {kind}  bit_count={args.bit_count}"
           f"  check_order={args.check_order}  method={args.method}")
     print(f"  TPU:  {t_dev*1e3:9.3f} ms   {args.n/t_dev/1e9:7.3f} Gkeys/s")

@@ -2,8 +2,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tpu_radix_sort as trs
+from tpu_radix_sort.models.golden import golden_is_sorted
 from tpu_radix_sort.ops import checksort
 
 
@@ -36,6 +38,37 @@ def test_is_sorted_fast_gate(rng):
 def test_public_is_sorted_jits():
     f = jax.jit(lambda x: trs.is_sorted(x))
     assert bool(f(jnp.arange(100, dtype=jnp.uint32)))
+
+
+def test_subrange_checks_vs_golden(rng):
+    """count / bit_count overrides mirror the reference check kernels'
+    START_ELEMENT/ELEMENT_COUNT slice checks (CheckSortBufferKernel.ts:84-103);
+    golden_is_sorted is the oracle."""
+    n = 5000
+    u = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    u[:3000] = np.sort(u[:3000])
+    uj = jnp.asarray(u)
+    for count in (0, 1, 100, 2999, 3000, 3001, n):
+        got = bool(trs.is_sorted(uj, count=count))
+        assert got == golden_is_sorted(u, count=count), count
+    # bit_count: sorted on the low bits but not the full key
+    lo = np.sort(rng.integers(0, 256, n, dtype=np.uint64).astype(np.uint32))
+    k = lo | (rng.integers(0, 2**24, n, dtype=np.uint64).astype(np.uint32) << 8)
+    assert bool(trs.is_sorted(jnp.asarray(k), bit_count=8))
+    assert bool(trs.is_sorted(jnp.asarray(k), bit_count=8)) == golden_is_sorted(k, bit_count=8)
+    assert bool(trs.is_sorted(jnp.asarray(k))) == golden_is_sorted(k)
+    # disorder_count with count: inversions only inside the prefix
+    d = np.array([1, 5, 2, 9, 0], dtype=np.uint32)
+    assert int(trs.disorder_count(jnp.asarray(d), count=2)) == 0
+    assert int(trs.disorder_count(jnp.asarray(d), count=3)) == 1
+    assert int(trs.disorder_count(jnp.asarray(d), count=5)) == 2
+    # float32 keys are checked by bit pattern like the sort
+    f = np.sort(rng.random(100).astype(np.float32))
+    assert bool(trs.is_sorted(jnp.asarray(f)))
+    with pytest.raises(ValueError):
+        trs.is_sorted(uj, count=n + 1)
+    with pytest.raises(ValueError):
+        trs.disorder_count(uj, bit_count=7)
 
 
 def test_disorder_count_pallas_path(rng):

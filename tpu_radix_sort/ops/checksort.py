@@ -85,13 +85,41 @@ def _disorder_pallas(u2d, *, interpret):
     )(u2d)[0]
 
 
-def disorder_count(u: jax.Array, *, interpret=None) -> jax.Array:
-    """Number of adjacent inversions in a 1-D u32 array (0 == sorted).
+def _as_check_key(u: jax.Array, bit_count: int) -> jax.Array:
+    """Map keys to the masked u32 bit pattern the order check compares.
+
+    Mirrors the sort's own key view: u32 bit pattern (`to_sortable_u32`)
+    masked to the low `bit_count` bits — the reference's check kernels
+    compare the same storage words the sort kernels order by
+    (`src/shaders/CheckSort.ts:102-113`).
+    """
+    u = common.to_sortable_u32(jnp.asarray(u))
+    if bit_count < 32:
+        u = u & common.bit_mask(bit_count)
+    return u
+
+
+def disorder_count(
+    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None
+) -> jax.Array:
+    """Number of adjacent inversions in the first `count` keys (0 == sorted).
+
+    `count`/`bit_count` mirror the reference check kernels' ELEMENT_COUNT /
+    key-width overrides for checking a slice of a larger buffer
+    (`src/kernels/check-sort/CheckSortBufferKernel.ts:84-103`); comparison is
+    on the low `bit_count` bits of the u32 bit pattern, like the sort itself.
 
     Large inputs run the streaming Pallas reduction (the reference's
     `check_sort` kernel, `src/shaders/CheckSort.ts:70-113`, collapsed to one
     pass); small ones use the XLA reduction.
     """
+    common.validate_bit_count(bit_count)
+    u = _as_check_key(u, bit_count)
+    if count is not None:
+        count = int(count)
+        if not (0 <= count <= u.shape[0]):
+            raise ValueError(f"count {count} out of range for buffer of {u.shape[0]}")
+        u = u[:count]
     n = u.shape[0]
     if n < 2:
         return jnp.uint32(0)
@@ -102,14 +130,24 @@ def disorder_count(u: jax.Array, *, interpret=None) -> jax.Array:
     return jnp.sum((u[:-1] > u[1:]).astype(jnp.uint32))
 
 
-def is_sorted(u: jax.Array) -> jax.Array:
+def is_sorted(u: jax.Array, *, count=None, bit_count: int = 32) -> jax.Array:
     """Fast-gated full order check, mirroring the reference's two-phase check.
 
     The fast phase samples the first FAST_CHECK_ELEMENTS keys; only if that
     prefix is ordered does the full reduction over the remainder run
     (reference overlaps the boundary pair by starting the full check at
-    fast_count - 1, AbstractRadixSortKernel.ts:139-141).
+    fast_count - 1, AbstractRadixSortKernel.ts:139-141). `count`/`bit_count`
+    check a prefix of a larger buffer on the low key bits, like the
+    reference's START_ELEMENT/ELEMENT_COUNT overrides
+    (`CheckSortBufferKernel.ts:84-103`).
     """
+    common.validate_bit_count(bit_count)
+    u = _as_check_key(u, bit_count)
+    if count is not None:
+        count = int(count)
+        if not (0 <= count <= u.shape[0]):
+            raise ValueError(f"count {count} out of range for buffer of {u.shape[0]}")
+        u = u[:count]
     n = u.shape[0]
     f = min(n, FAST_CHECK_ELEMENTS)
     fast_ok = disorder_count(u[:f]) == 0

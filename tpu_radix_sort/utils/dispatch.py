@@ -28,9 +28,3 @@ def choose_block_rows(n_pad: int, n_arrays: int, budget=VMEM_BUDGET_BYTES) -> in
     per_row_bytes = n_arrays * LANES * 4 * 3
     rows = max(8, budget // per_row_bytes)
     return min(common.next_pow2(rows_total), common.next_pow2(rows + 1) // 2)
-
-
-def grid_1d(total: int, block: int) -> tuple[int, ...]:
-    """1-D grid size with ceiling division (reference: workgroupCount,
-    `AbstractKernel.ts:41-43`)."""
-    return (common.cdiv(total, block),)
