@@ -49,6 +49,22 @@ def test_radix_sort_keys_large(rng):
     np.testing.assert_array_equal(np.asarray(got), golden_sort(k))
 
 
+@pytest.mark.slow
+def test_radix_sort_large_sweep(rng):
+    """Adversarial sweep of the window-DMA reorder at scale: key+value,
+    duplicates, check_order, several tile heights (the same treatment the
+    bitonic engine gets in test_sort.py::test_large_sort_with_merge_rounds)."""
+    n = 50_000
+    k = rng.integers(0, 2**12, n, dtype=np.uint64).astype(np.uint32)  # dupes
+    v = np.arange(n, dtype=np.uint32)
+    rk, rv = golden_sort(k, v, bit_count=16)
+    for block_rows in (16, 64):
+        gk, gv = trs.sort(jnp.asarray(k), jnp.asarray(v), method="radix",
+                          bit_count=16, check_order=True, block_rows=block_rows)
+        np.testing.assert_array_equal(np.asarray(gk), rk)
+        np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
 def test_radix_sort_kv_stable_and_flags(rng):
     n = 6000
     k = rng.integers(0, 2**8, n, dtype=np.uint64).astype(np.uint32)  # dupes
@@ -66,6 +82,50 @@ def test_radix_sort_kv_stable_and_flags(rng):
     np.testing.assert_array_equal(
         np.asarray(got), golden_sort(k, bit_count=8, count=4321)
     )
+
+
+def test_midsort_early_exit_skips_passes(rng):
+    """The reference exits when data *becomes* sorted mid-run
+    (`AbstractRadixSortKernel.ts:257-261`, README "Order checking"): the
+    while_loop must stop after the check that follows the deciding pass."""
+    n = 4000
+    # keys < 16: fully determined by the low 4 bits => sorted after 2
+    # passes; the check before pass 2 must exit the loop (n_run == 2)
+    k = rng.integers(0, 16, n, dtype=np.uint64).astype(np.uint32)
+    mk = jnp.asarray(k)
+    out, _, n_run = radix.sort_u32(mk, (), check_order=True,
+                                   block_rows=16, return_passes=True)
+    assert int(n_run) == 2
+    np.testing.assert_array_equal(np.asarray(out), np.sort(k))
+
+    # already sorted: the pass-0 check exits before any pass runs
+    out, _, n_run = radix.sort_u32(jnp.asarray(np.sort(k)), (),
+                                   check_order=True, block_rows=16,
+                                   return_passes=True)
+    assert int(n_run) == 0
+
+    # unsorted in the high bits: every pass must run
+    k32 = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    out, _, n_run = radix.sort_u32(jnp.asarray(k32), (), check_order=True,
+                                   block_rows=16, return_passes=True)
+    assert int(n_run) == 16
+    np.testing.assert_array_equal(np.asarray(out), np.sort(k32))
+
+
+def test_radix_check_order_through_public_api(rng):
+    n = 3000
+    k = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    gk, gv = trs.sort(jnp.asarray(k), jnp.asarray(v), method="radix",
+                      bit_count=8, check_order=True, block_rows=16)
+    rk, rv = golden_sort(k, v, bit_count=8)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+    # sorted input passes through unchanged (and fast)
+    ks = np.sort(k)
+    gk2 = trs.sort(jnp.asarray(ks), method="radix", check_order=True,
+                   block_rows=16)
+    np.testing.assert_array_equal(np.asarray(gk2), ks)
 
 
 def test_radix_sort_float32(rng):

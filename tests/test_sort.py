@@ -16,7 +16,14 @@ import pytest
 import tpu_radix_sort as trs
 from tpu_radix_sort.models.golden import golden_sort
 
-METHODS = ["bitonic", "xla"]
+METHODS = ["bitonic", "xla", "radix"]
+
+
+def _kw(method):
+    """Per-method engine kwargs for the matrix: the radix engine's default
+    tile (512 rows) would pad tiny test inputs to 64K elements; 16 rows
+    keeps interpret-mode padding sane and forces multi-block machinery."""
+    return {"block_rows": 16} if method == "radix" else {}
 
 
 def _rand_keys(rng, n, dtype="uint32", lo=0, hi=2**32):
@@ -31,7 +38,7 @@ def _rand_keys(rng, n, dtype="uint32", lo=0, hi=2**32):
 @pytest.mark.parametrize("n", [1, 2, 100, 127, 128, 129, 1000, 3333])
 def test_keys_only(rng, method, n):
     k = _rand_keys(rng, n)
-    out = np.asarray(trs.sort(jnp.asarray(k), method=method))
+    out = np.asarray(trs.sort(jnp.asarray(k), method=method, **_kw(method)))
     assert np.array_equal(out, golden_sort(k))
 
 
@@ -40,7 +47,7 @@ def test_keys_only(rng, method, n):
 def test_key_value(rng, method, n):
     k = _rand_keys(rng, n, hi=max(2, n // 3))  # many duplicates: stability
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method=method)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method=method, **_kw(method))
     rk, rv = golden_sort(k, v)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
@@ -53,7 +60,7 @@ def test_subcount(rng, method):
     k = _rand_keys(rng, n)
     v = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     for count in [0, 1, 17, 1000, n]:
-        ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), count=count, method=method)
+        ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), count=count, method=method, **_kw(method))
         rk, rv = golden_sort(k, v, count=count)
         assert np.array_equal(np.asarray(ok), rk), count
         assert np.array_equal(np.asarray(ov), rv), count
@@ -65,7 +72,7 @@ def test_bit_count(rng, method, bit_count):
     n = 3333
     k = _rand_keys(rng, n)
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), bit_count=bit_count, method=method)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), bit_count=bit_count, method=method, **_kw(method))
     rk, rv = golden_sort(k, v, bit_count=bit_count)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
@@ -75,7 +82,7 @@ def test_bit_count(rng, method, bit_count):
 def test_bit_count_keys_only_is_stable(rng, method):
     # keys-only with masked high bits still requires stable full-key output
     k = np.array([0x35, 0x25, 0x15, 0x05, 0x14, 0x24], dtype=np.uint32)
-    out = np.asarray(trs.sort(jnp.asarray(k), bit_count=4, method=method))
+    out = np.asarray(trs.sort(jnp.asarray(k), bit_count=4, method=method, **_kw(method)))
     assert np.array_equal(out, golden_sort(k, bit_count=4))
 
 
@@ -84,7 +91,7 @@ def test_float32_keys(rng, method):
     n = 3333
     k = _rand_keys(rng, n, dtype="float32")
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method=method)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method=method, **_kw(method))
     rk, rv = golden_sort(k, v)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
@@ -100,7 +107,7 @@ def test_float32_values_payload(rng):
     assert np.array_equal(np.asarray(ov), rv)
 
 
-@pytest.mark.parametrize("block_rows", [2, 8])
+@pytest.mark.parametrize("block_rows", [2, 4, 8, 16, 64])
 def test_tile_shape_invariance(rng, block_rows):
     # the reference sweeps workgroup shapes and demands identical output
     # (example/tests.ts:19-28); our tiling knob must be output-invariant.
@@ -114,12 +121,25 @@ def test_tile_shape_invariance(rng, block_rows):
     assert np.array_equal(np.asarray(ov), rv)
 
 
+@pytest.mark.parametrize("block_rows", [8, 16, 64])
+def test_radix_tile_shape_invariance(rng, block_rows):
+    # the radix engine's tiling knob must be output-invariant too (its
+    # stability is by construction, not tie-break — same requirement)
+    n = 2000
+    k = _rand_keys(rng, n, hi=500)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method="radix", block_rows=block_rows)
+    rk, rv = golden_sort(k, v)
+    assert np.array_equal(np.asarray(ok), rk)
+    assert np.array_equal(np.asarray(ov), rv)
+
+
 @pytest.mark.parametrize("method", METHODS)
 def test_check_order_on_sorted_input(rng, method):
     n = 1000
     k = np.sort(_rand_keys(rng, n))
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), check_order=True, method=method)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), check_order=True, method=method, **_kw(method))
     rk, rv = golden_sort(k, v)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
@@ -130,7 +150,7 @@ def test_check_order_on_unsorted_input(rng, method):
     n = 1000
     k = _rand_keys(rng, n)
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), check_order=True, method=method)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), check_order=True, method=method, **_kw(method))
     rk, rv = golden_sort(k, v)
     assert np.array_equal(np.asarray(ok), rk)
     assert np.array_equal(np.asarray(ov), rv)
@@ -192,13 +212,13 @@ def test_randomized_matrix(rng, method):
             ranks = bool(rng.integers(0, 2))
             ok, ov = trs.sort(kj, jnp.asarray(v), count=count, bit_count=bit_count,
                               check_order=check_order, method=method,
-                              values_are_ranks=ranks)
+                              values_are_ranks=ranks, **_kw(method))
             rk, rv = golden_sort(k, v, count=count, bit_count=bit_count)
             assert np.array_equal(np.asarray(ok), rk), (n, count, bit_count, dtype)
             assert np.array_equal(np.asarray(ov), rv), (n, count, bit_count, dtype)
         else:
             out = trs.sort(kj, count=count, bit_count=bit_count,
-                           check_order=check_order, method=method)
+                           check_order=check_order, method=method, **_kw(method))
             ref = golden_sort(k, count=count, bit_count=bit_count)
             assert np.array_equal(np.asarray(out), ref), (n, count, bit_count, dtype)
 

@@ -23,12 +23,12 @@ Reference counterparts, reproduced kernel-for-kernel:
        makes every position eventually owned by exactly one run).
 
 Performance role: on a single chip the compare-exchange engine
-(`ops/bitonic.py`) is ~2-3x faster (DESIGN.md cost model: the compaction
-costs ~1k VPU ops/elt/pass); this engine exists for pipeline parity (the
-reference's algorithm, selectable via ``method='radix'``) and because its
-histogram/offset kernels are the building blocks of the distributed radix
-exchange (SURVEY.md §7). The reference ships its own alternate code paths
-disabled-by-default the same way (`README.md:124-168`).
+(`ops/bitonic.py`) is faster (DESIGN.md cost model: the compaction costs
+~1k VPU ops/elt/pass); this engine exists for pipeline parity — the
+reference's exact algorithm and pass structure, selectable via
+``method='radix'``, including the mid-sort order-check early exit. The
+reference ships its own alternate code paths disabled-by-default the same
+way (`README.md:124-168`).
 """
 from __future__ import annotations
 
@@ -39,22 +39,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import common, scan
+from . import checksort, common, scan
 
 LANES = 128
 DEFAULT_BLOCK_ROWS = 512
 RADIX_BITS = 2
 R = 1 << RADIX_BITS  # 4-way, reference-faithful (src/shaders/RadixSort.ts:61)
 
+# The reference runs its fast+full order check before every 2nd pass
+# (`AbstractRadixSortKernel.ts:257` — `i % 2 == 0`).
+CHECK_EVERY_PASSES = 2
+
 
 # ---------------------------------------------------------------- histogram
 
 
-def _hist_kernel(x_ref, o_ref, *, bit, rows):
+def _hist_kernel(bit_ref, x_ref, o_ref, *, rows):
     # counts are scalars: write them through SMEM (a (R, 1) VMEM block would
-    # violate the (8, 128) tiling minimum of the Mosaic lowering)
+    # violate the (8, 128) tiling minimum of the Mosaic lowering).
+    # `bit` arrives as a prefetched scalar so every pass of the LSD loop
+    # shares ONE compiled kernel (DESIGN.md "bake nothing per-round").
     b = pl.program_id(0)
-    dig = (x_ref[:] >> jnp.uint32(bit)) & jnp.uint32(R - 1)
+    bit = bit_ref[0].astype(jnp.uint32)
+    dig = (x_ref[:] >> bit) & jnp.uint32(R - 1)
     for r in range(R):
         # Mosaic has no unsigned reductions: sum in i32, store as u32
         o_ref[r, b] = jnp.sum((dig == r).astype(jnp.int32)).astype(jnp.uint32)
@@ -64,20 +71,26 @@ def digit_histogram(u, *, bit, block_rows=None, interpret=None):
     """Digit-major [R, nblocks] histogram of 2-bit digits at `bit`.
 
     `u` must be (nblocks*block_rows, 128) u32 (pad upstream with sentinels).
+    `bit` may be a Python int or a traced i32 scalar (the pass loops trade
+    it in as a loop-carried value so all passes share one compilation).
     """
     if interpret is None:
         interpret = common.default_interpret()
     rows = u.shape[0]
     block_rows = min(rows, block_rows or DEFAULT_BLOCK_ROWS)
     nblocks = rows // block_rows
-    return pl.pallas_call(
-        functools.partial(_hist_kernel, bit=bit, rows=block_rows),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b: (b, 0))],
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, bit: (b, 0))],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, rows=block_rows),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, nblocks), jnp.uint32),
         interpret=interpret,
-    )(u)
+    )(jnp.asarray([bit], jnp.int32), u)
 
 
 def bucket_offsets(hist, *, interpret=None):
@@ -111,9 +124,10 @@ def _cumsum_mask(mask_u32, rows):
     return x + (tot - own)
 
 
-def _reorder_kernel(offs_ref, *refs, n_arr, bit, rows, out_pad_rows):
+def _reorder_kernel(offs_ref, *refs, n_arr, rows, out_pad_rows):
     """One block: 4-way stable split in VMEM + window-DMA runs to HBM.
 
+    offs_ref = prefetched scalars: [bit, offsets (R * nblocks, digit-major)].
     refs = in VMEM blocks (n_arr) | aliased HBM operands (n_arr, unused) |
            out HBM refs (n_arr) | scratch: win (n_arr, rows+1, 128) | sem (2,)
     """
@@ -124,7 +138,8 @@ def _reorder_kernel(offs_ref, *refs, n_arr, bit, rows, out_pad_rows):
     sem = refs[3 * n_arr + 1]
 
     key = ins[0][:]
-    dig = (key >> jnp.uint32(bit)) & jnp.uint32(R - 1)
+    bit = offs_ref[0].astype(jnp.uint32)
+    dig = (key >> bit) & jnp.uint32(R - 1)
     shape = (rows, LANES)
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -171,7 +186,7 @@ def _reorder_kernel(offs_ref, *refs, n_arr, bit, rows, out_pad_rows):
             s *= 2
             log_s += 1
         # runs now left-packed in `data`[:cnt]; window read-merge-write
-        off = offs_ref[r * pl.num_programs(0) + b]
+        off = offs_ref[1 + r * pl.num_programs(0) + b]
         row0 = off // LANES
         col0 = off % LANES
         # window covers [row0, row0 + rows + 1) rows so any lane offset fits
@@ -228,9 +243,11 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
     kern = functools.partial(
         _reorder_kernel,
         n_arr=n_arr,
-        bit=bit,
         rows=block_rows,
         out_pad_rows=out_rows,
+    )
+    scalars = jnp.concatenate(
+        [jnp.asarray([bit], jnp.int32), offs.reshape(-1).astype(jnp.int32)]
     )
     out = pl.pallas_call(
         kern,
@@ -242,17 +259,30 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
         input_output_aliases={1 + n_arr + i: i for i in range(n_arr)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(offs.reshape(-1).astype(jnp.int32), *arrs, *outs)
+    )(scalars, *arrs, *outs)
     return tuple(o[:rows] for o in out)
 
 
 def sort_u32(mkeys, payloads=(), *, bit_count=32, block_rows=None,
-             interpret=None):
+             interpret=None, check_order=False, return_passes=False):
     """Stable ascending LSD radix sort of u32 keys (+ u32 payloads).
 
     The engine behind ``method='radix'``: bitCount/2 passes of
     histogram -> digit-major scan -> reorder, exactly the reference's pass
-    structure (`AbstractRadixSortKernel.ts:94-107`).
+    structure (`AbstractRadixSortKernel.ts:94-107`). `bit` rides as a
+    loop-carried scalar so every pass shares one compiled kernel pair.
+
+    ``check_order=True`` reproduces the reference's *mid-sort* early exit
+    (`AbstractRadixSortKernel.ts:249-276`): before every 2nd pass
+    (``i % 2 == 0``, `:257`) the fast+full gated order check runs on the
+    current working keys, and once they are sorted every remaining pass is
+    skipped ("...or when it gets sorted before all the passes finishes",
+    reference README "Order checking"). The GPU implements the skip by
+    zeroing indirect-dispatch records; here the pass loop is a
+    `lax.while_loop` whose carry holds the ``is_sorted`` verdict.
+
+    ``return_passes=True`` additionally returns the number of passes that
+    actually executed (instrumentation for tests/benchmarks).
     """
     if interpret is None:
         interpret = common.default_interpret()
@@ -262,15 +292,56 @@ def sort_u32(mkeys, payloads=(), *, bit_count=32, block_rows=None,
     arrs = [common.pad_to(mkeys, rows * LANES, common.SENTINEL_U32)]
     arrs += [common.pad_to(p, rows * LANES, jnp.uint32(0)) for p in payloads]
     arrs = tuple(a.reshape(rows, LANES) for a in arrs)
+    npasses = bit_count // RADIX_BITS
 
-    for bit in range(0, bit_count, RADIX_BITS):
+    def run_pass(arrs, bit):
         hist = digit_histogram(
             arrs[0], bit=bit, block_rows=block_rows, interpret=interpret
         )
         offs = bucket_offsets(hist, interpret=interpret)
-        arrs = _reorder_pass(
+        return _reorder_pass(
             arrs, offs, bit=bit, block_rows=block_rows, interpret=interpret
         )
 
+    if not check_order:
+        arrs = jax.lax.fori_loop(
+            0,
+            npasses,
+            lambda i, a: run_pass(a, i * RADIX_BITS),
+            arrs,
+            unroll=False,
+        )
+        n_run = jnp.int32(npasses)
+    else:
+        # sentinel padding stays at the array tail at every pass boundary
+        # (pad keys are all-ones: last digit run, stable order), so the
+        # check can run over the padded working keys directly.
+        def check_now(arrs):
+            return checksort.is_sorted(arrs[0].reshape(-1))
+
+        def cond(carry):
+            _, i, done, _ = carry
+            return (i < npasses) & ~done
+
+        def body(carry):
+            arrs, i, done, n_run = carry
+            done = jax.lax.cond(
+                i % CHECK_EVERY_PASSES == 0,
+                lambda a: done | check_now(a),
+                lambda a: done,
+                arrs,
+            )
+            arrs = jax.lax.cond(
+                done, lambda a: a, lambda a: run_pass(a, i * RADIX_BITS), arrs
+            )
+            n_run = n_run + jnp.where(done, 0, 1).astype(jnp.int32)
+            return arrs, i + 1, done, n_run
+
+        arrs, _, _, n_run = jax.lax.while_loop(
+            cond, body, (arrs, jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+        )
+
     flat = tuple(a.reshape(rows * LANES)[:n] for a in arrs)
+    if return_passes:
+        return flat[0], flat[1:], n_run
     return flat[0], flat[1:]

@@ -39,7 +39,7 @@ def _resolve_method(method: str) -> str:
 
 
 def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
-                 key_bits=32, rank_payload=None):
+                 key_bits=32, rank_payload=None, check_order=False):
     """Sort by mkeys (stably if `stable`), co-permuting payloads.
 
     mkeys: u32 (n,); payloads: tuple of u32 (n,). Returns (mkeys, payloads).
@@ -65,6 +65,11 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
             bit_count=key_bits,
             block_rows=block_rows,
             interpret=interpret,
+            # the radix engine owns the check_order semantics: the
+            # reference's mid-sort early exit (check every 2nd pass,
+            # AbstractRadixSortKernel.ts:257-261), which subsumes the
+            # up-front whole-pipeline gate used for the other engines
+            check_order=check_order,
         )
 
     # bitonic network engine: pad to pow2 multiple of 128 with sentinels;
@@ -246,6 +251,7 @@ def _sort_jit(
             interpret=interpret,
             key_bits=key_bits,
             rank_payload=rank_payload,
+            check_order=check_order and method == "radix",
         )
         ps = list(ps)
         if carry_full_key:
@@ -257,7 +263,10 @@ def _sort_jit(
             out.append(ps.pop(0))
         return tuple(out)
 
-    if check_order:
+    if check_order and method != "radix":
+        # comparison engines: up-front whole-pipeline gate. The radix
+        # engine instead checks mid-sort inside its pass loop (the
+        # reference's indirect-dispatch shape) — see _engine_sort above.
         passthrough = [u_full]
         if values is not None:
             passthrough.append(

@@ -114,7 +114,43 @@ def _select_boundaries(sk, si, targets, axis_name):
     return K, I
 
 
-def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret):
+def ragged_all_to_all_emulated(
+    a, starts, sizes, out_offsets, *, axis_name, n_dev
+):
+    """Emulation of `jax.lax.ragged_all_to_all` for backends without the
+    collective (XLA:CPU has no ragged-all-to-all thunk — verified on
+    jax 0.9.0: `UNIMPLEMENTED ... ThunkEmitter`).
+
+    Operational semantics pinned by `tests/test_radix_exchange.py::
+    test_emulation_matches_ragged_all_to_all_semantics`: shard s sends
+    `a[starts[s, d] : starts[s, d] + sizes[s, d]]` to shard d, where it
+    lands at `out_offsets[s, d]` in d's output buffer; `starts` /
+    `out_offsets` here are the ALL-GATHERED (D, D) matrices of every
+    shard's per-destination metadata (the real collective takes each
+    shard's own row and exchanges it implicitly).
+
+    Mechanism: all_gather the data, then each shard assembles its received
+    chunks with static-shape clipped-gather + masked select (no dynamic
+    shapes under jit).
+    """
+    me = jax.lax.axis_index(axis_name)
+    L = a.shape[0]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    full = jax.lax.all_gather(a, axis_name)  # (D, L)
+    buf = jnp.zeros((L,), a.dtype)
+    for s in range(n_dev):
+        off = out_offsets[s, me]
+        sz = sizes[s, me]
+        src = jnp.take(
+            full[s],
+            jnp.clip(pos - off + starts[s, me], 0, L - 1),
+        )
+        buf = jnp.where((pos >= off) & (pos < off + sz), src, buf)
+    return buf
+
+
+def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
+                         use_ragged_a2a):
     """Per-shard body: local sort -> exact split -> ragged a2a -> re-sort."""
     arrs = bitonic.sort_padded(
         arrs, stable=True, block_rows=block_rows, interpret=interpret
@@ -154,24 +190,18 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret):
     )[0].astype(jnp.int32)
 
     out = []
-    if interpret:
-        # XLA:CPU has no ragged-all-to-all; emulate for the unit-test mesh:
-        # all_gather everything, then each shard assembles its chunks.
+    if not use_ragged_a2a:
+        # backends without the collective (CPU test meshes): semantics-
+        # pinned emulation, see ragged_all_to_all_emulated
         starts_g = jax.lax.all_gather(starts, axis_name)  # (D, D)
         offs_g = jax.lax.all_gather(out_offsets, axis_name)  # (D, D)
-        pos = jnp.arange(L, dtype=jnp.int32)
         for a in arrs:
-            full = jax.lax.all_gather(a, axis_name)  # (D, L)
-            buf = jnp.zeros((L,), a.dtype)
-            for s in range(n_dev):
-                off = offs_g[s, me]
-                sz = sizes[s, me]
-                src = jnp.take(
-                    full[s],
-                    jnp.clip(pos - off + starts_g[s, me], 0, L - 1),
+            out.append(
+                ragged_all_to_all_emulated(
+                    a, starts_g, sizes, offs_g,
+                    axis_name=axis_name, n_dev=n_dev,
                 )
-                buf = jnp.where((pos >= off) & (pos < off + sz), src, buf)
-            out.append(buf)
+            )
     else:
         for a in arrs:
             buf = jnp.zeros((L,), a.dtype)
@@ -203,12 +233,19 @@ def exchange_sort(
     total_order: bool = False,
     block_rows=None,
     interpret=None,
+    use_ragged_a2a=None,
 ):
     """Distributed stable sort via exact-splitter radix exchange.
 
     Same semantics and signature as :func:`mesh_sort` (first `count` sorted,
     suffix untouched, low `bit_count` bits ordered, stable). One data
     exchange; exactly balanced under any key distribution.
+
+    `use_ragged_a2a` picks the exchange transport independently of the
+    Pallas `interpret` choice: True = `jax.lax.ragged_all_to_all` (TPU),
+    False = the semantics-pinned emulation (`ragged_all_to_all_emulated` —
+    XLA:CPU has no ragged-all-to-all thunk), None = True exactly when the
+    mesh devices are not CPU.
     """
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
@@ -224,6 +261,10 @@ def exchange_sort(
             raise ValueError("values must match keys shape")
     if interpret is None:
         interpret = common.default_interpret()
+    if use_ragged_a2a is None:
+        use_ragged_a2a = all(
+            d.platform != "cpu" for d in mesh.devices.flat
+        )
     n_dev = mesh.shape[axis_name]
 
     if count <= 1:
@@ -255,6 +296,7 @@ def exchange_sort(
             n_dev=n_dev,
             block_rows=block_rows,
             interpret=interpret,
+            use_ragged_a2a=use_ragged_a2a,
         ),
         mesh=mesh,
         in_specs=(tuple(P(axis_name) for _ in arrs),),
