@@ -66,6 +66,25 @@ def main():
     bench("16M f32 sorted, check_order=False",
           lambda a: trs.sort(a), fj, n)
 
+    # the losing half of the check_order trade (reference README "Order
+    # checking" discusses both sides): unsorted input pays the fast+full
+    # reduction before the full sort runs. The timing chain feeds output
+    # back to input, so a plain sort(.) would early-exit from iteration 2
+    # on; XOR-ing the sign bit each step re-unsorts the data (two sorted
+    # runs, inversion past the fast window => the full gate always runs)
+    # at identical cost in both the gated and baseline steps. The
+    # comparison engine is data-oblivious, so the sort cost is the same
+    # as for random input.
+    ku = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    refu = golden_sort(np.asarray(ku) ^ np.uint32(0x80000000))
+    flip = jnp.uint32(0x80000000)
+    bench("16M u32 unsorted, check_order=True (gate overhead)",
+          lambda a: trs.sort(a ^ flip, check_order=True), ku, n,
+          check=lambda ls: np.array_equal(ls[0], refu))
+    bench("16M u32 unsorted, check_order=False (same step, baseline)",
+          lambda a: trs.sort(a ^ flip), ku, n,
+          check=lambda ls: np.array_equal(ls[0], refu))
+
     # config 5: 16M Zipf-skewed keys (hot buckets)
     n = 1 << 24
     z = rng.zipf(1.3, size=n).astype(np.uint32)  # heavy head skew
@@ -102,13 +121,27 @@ def main():
           check=lambda ls: np.array_equal(ls[0], ref_scan))
 
     # the 4-way LSD radix compatibility engine (method='radix'), documented
-    # honestly at 4M (DESIGN.md: its in-VMEM compaction is VPU-costlier)
+    # honestly at 4M (DESIGN.md: its in-VMEM compaction is VPU-costlier;
+    # the measured refutation of faster radix constructions is in DESIGN.md
+    # "Speed-of-light accounting" + benchmarks/explore_msd.py)
     n = 1 << 22
     k4 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
     rk4 = golden_sort(np.asarray(k4))
     bench("4M u32 keys-only, method='radix'",
           lambda a: trs.sort(a, method="radix"), k4, n,
           check=lambda ls: np.array_equal(ls[0], rk4))
+
+    # past the reference's ceiling: its default WebGPU limits cap at 2^26
+    # elements (maxBufferSize, README.md:100-106); one v5e chip does 2^27
+    n = 1 << 27
+    k128 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    ref128 = np.sort(np.asarray(k128))
+    bench("128M u32 keys-only (2x the reference's ceiling)",
+          lambda a: trs.sort(a), k128, n,
+          check=lambda ls: np.array_equal(ls[0], ref128))
+    v128 = jnp.arange(n, dtype=jnp.uint32)
+    bench("128M u32 key+value (rank payload)",
+          lambda kv: tuple(trs.sort(*kv, values_are_ranks=True)), (k128, v128), n)
 
 
 if __name__ == "__main__":

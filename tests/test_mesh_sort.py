@@ -75,6 +75,40 @@ def test_mesh_sort_bit_count_and_float(rng):
     np.testing.assert_array_equal(np.asarray(got), golden_sort(f))
 
 
+@pytest.mark.parametrize("overlap_chunks", [2, 4])
+def test_mesh_sort_overlapped_exchange(rng, overlap_chunks):
+    """The chunked double-buffered exchange (comm/compute overlap
+    groundwork, SURVEY.md §7) must be byte-identical to the plain path
+    and to golden — key+value, duplicates, sub-count."""
+    mesh = make_mesh(8)
+    n = 6000
+    count = 5000
+    keys = rng.integers(0, 2**8, size=n, dtype=np.uint32)  # heavy dupes
+    values = np.arange(n, dtype=np.uint32)
+    kj, vj = jnp.asarray(keys), jnp.asarray(values)
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", kj), sharded(mesh, "x", vj),
+        mesh=mesh, count=count, overlap_chunks=overlap_chunks,
+    )
+    pk, pv = mesh_sort(
+        sharded(mesh, "x", kj), sharded(mesh, "x", vj),
+        mesh=mesh, count=count,
+    )
+    rk, rv = golden_sort(keys, values, count=count)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(pk))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(pv))
+
+
+def test_mesh_sort_overlap_validation(rng):
+    mesh = make_mesh(8)
+    keys = jnp.asarray(rng.integers(0, 2**32, size=4096, dtype=np.uint32))
+    with pytest.raises(ValueError):
+        # per-shard padded length is 512 here; 7 does not divide it
+        mesh_sort(sharded(mesh, "x", keys), mesh=mesh, overlap_chunks=7)
+
+
 def test_mesh_sort_jit_sharded(rng):
     """The whole mesh sort jits end-to-end with sharded inputs."""
     mesh = make_mesh(8)

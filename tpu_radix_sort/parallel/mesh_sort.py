@@ -46,7 +46,64 @@ from ..ops import bitonic, common
 LANES = bitonic.LANES
 
 
-def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret):
+def _compare_split_ce(arrs, recv, keep_min):
+    """Elementwise compare-split decision: keep min or max of each pair.
+
+    `recv` must already be the partner block reversed (rank r paired with
+    rank L-1-r). (key, idx) pairs are distinct, so lexicographic `<` is a
+    total order and the two sides keep complementary elements.
+    """
+    mine_lt = (arrs[0] < recv[0]) | (
+        (arrs[0] == recv[0]) & (arrs[1] < recv[1])
+    )
+    take_mine = jnp.where(keep_min, mine_lt, ~mine_lt)
+    return tuple(jnp.where(take_mine, a, r) for a, r in zip(arrs, recv))
+
+
+def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks):
+    """One compare-split exchange, optionally chunked for comm/compute overlap.
+
+    With ``overlap_chunks == S > 1`` the block is exchanged in S sub-chunks
+    and the `ppermute` for chunk c+1 is issued *before* the compare-select
+    of chunk c — a software pipeline whose independent collective-permutes
+    XLA's async scheduler (start/done pairs on TPU) overlaps with the
+    selects (SURVEY.md §7 overlap groundwork; the byte-identical S == 1
+    path is the reference behavior). My chunk c pairs with the partner's
+    chunk S-1-c reversed: global position p pairs with L-1-p.
+    """
+    if overlap_chunks <= 1:
+        recv = tuple(jax.lax.ppermute(a, axis_name, perm) for a in arrs)
+        recv = tuple(r[::-1] for r in recv)
+        return _compare_split_ce(arrs, recv, keep_min)
+
+    L = arrs[0].shape[0]
+    S = overlap_chunks
+    if L % S != 0:
+        raise ValueError(f"overlap_chunks {S} must divide shard length {L}")
+    Lc = L // S
+    chunks = [tuple(a[c * Lc:(c + 1) * Lc] for a in arrs) for c in range(S)]
+
+    def send(c):
+        # partner chunk for my chunk c is its chunk S-1-c
+        return tuple(
+            jax.lax.ppermute(a, axis_name, perm) for a in chunks[S - 1 - c]
+        )
+
+    out = [None] * S
+    pending = send(0)
+    for c in range(S):
+        nxt = send(c + 1) if c + 1 < S else None
+        recv = tuple(r[::-1] for r in pending)
+        out[c] = _compare_split_ce(chunks[c], recv, keep_min)
+        pending = nxt
+    return tuple(
+        jnp.concatenate([out[c][a] for c in range(S)])
+        for a in range(len(arrs))
+    )
+
+
+def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret,
+                           overlap_chunks=1):
     """Bitonic sorting network over shard ids with compare-split exchanges.
 
     arrs: tuple of (L,) u32 arrays, arrs[0] the sort key, arrs[1] a unique
@@ -59,21 +116,11 @@ def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret):
         j = k // 2
         while j >= 1:
             perm = [(i, i ^ j) for i in range(n_dev)]
-            recv = tuple(
-                jax.lax.ppermute(a, axis_name, perm) for a in arrs
-            )
-            # partner is ascending; reversed it pairs rank r with rank L-1-r,
-            # making (mine, reverse(partner)) the bitonic stride-L exchange.
-            recv = tuple(r[::-1] for r in recv)
             # bitonic direction rule on shard ids: ascending region when
             # (me & k) == 0; the lower-index side of the pair keeps the mins.
             keep_min = ((me & j) == 0) == ((me & k) == 0)
-            mine_lt = (arrs[0] < recv[0]) | (
-                (arrs[0] == recv[0]) & (arrs[1] < recv[1])
-            )
-            take_mine = jnp.where(keep_min, mine_lt, ~mine_lt)
-            half = tuple(
-                jnp.where(take_mine, a, r) for a, r in zip(arrs, recv)
+            half = _exchange_and_ce(
+                arrs, perm, axis_name, keep_min, overlap_chunks
             )
             arrs = bitonic.merge_padded(
                 half, stable=True, block_rows=block_rows, interpret=interpret
@@ -83,13 +130,15 @@ def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret):
     return arrs
 
 
-def _shard_sort(arrs, *, axis_name, n_dev, block_rows, interpret):
+def _shard_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
+                overlap_chunks=1):
     arrs = bitonic.sort_padded(
         arrs, stable=True, block_rows=block_rows, interpret=interpret
     )
     if n_dev > 1:
         arrs = _compare_split_network(
-            arrs, axis_name, n_dev, block_rows=block_rows, interpret=interpret
+            arrs, axis_name, n_dev, block_rows=block_rows,
+            interpret=interpret, overlap_chunks=overlap_chunks,
         )
     return arrs
 
@@ -105,6 +154,7 @@ def mesh_sort(
     total_order: bool = False,
     block_rows=None,
     interpret=None,
+    overlap_chunks: int = 1,
 ):
     """Stable ascending sort of `keys` (and optional `values`) across a mesh.
 
@@ -115,6 +165,10 @@ def mesh_sort(
     `keys`/`values` are global 1-D arrays; shard them along `axis_name`
     (``NamedSharding(mesh, P(axis_name))``) for the exchange to ride ICI.
     Returns sorted keys, or (keys, values).
+
+    ``overlap_chunks=S > 1`` pipelines each compare-split exchange in S
+    sub-chunks so transfers overlap the compare-selects (output is
+    byte-identical to S == 1; S must divide the padded per-shard length).
     """
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
@@ -138,6 +192,11 @@ def mesh_sort(
     # per-shard padded length: pow2 multiple of LANES covering count/n_dev
     per = max(LANES, common.next_pow2(common.cdiv(count, n_dev)))
     n_pad = per * n_dev
+    if overlap_chunks > 1 and per % overlap_chunks != 0:
+        raise ValueError(
+            f"overlap_chunks {overlap_chunks} must divide the padded "
+            f"per-shard length {per}"
+        )
 
     if total_order:
         u_full = common.to_total_order_u32(keys[:count])
@@ -162,6 +221,7 @@ def mesh_sort(
             n_dev=n_dev,
             block_rows=block_rows,
             interpret=interpret,
+            overlap_chunks=overlap_chunks,
         ),
         mesh=mesh,
         in_specs=(tuple(P(axis_name) for _ in arrs),),
