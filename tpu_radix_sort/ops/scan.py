@@ -29,6 +29,14 @@ LANES = 128
 # Swept on chip at 16M (2026-08-16): 64 rows 3.47 ms, 128 1.96, 256 1.11,
 # 512 0.900, 1024 0.910, 2048 0.955, 4096 1.01, 8192 VMEM-OOM. 512 rows
 # (256 KB/tile) balances grid-step overhead against stage-temporary VMEM.
+#
+# 0.89 ms at 16M is COMPUTE-bound, not carry- or DMA-bound
+# (benchmarks/explore_scan.py, 2026-08-17): a pure copy through the same
+# grid/tile runs at 0.16-0.19 ms (698-822 GB/s, at roofline), AND-masks
+# instead of where-selects change nothing, a two-pass parallel scan (block
+# sums + add-back, no serial carry) is WORSE (1.01 ms: pays a second read),
+# and Mosaic has no native cumsum lowering. The log-shift Hillis-Steele
+# rounds are the operating point.
 DEFAULT_BLOCK_ROWS = 512
 # Interpret mode pays per grid step in Python; keep the old larger tile there.
 INTERPRET_BLOCK_ROWS = 2048
