@@ -79,6 +79,27 @@ def test_packed_kernel(rng):
     assert np.array_equal(out[:, 1], rv)
 
 
+def test_kernel_aot_compile(rng):
+    """compile() ahead-of-time lowers + compiles one executable per buffer
+    length (the reference's eager-pipeline-compilation idiom taken all the
+    way to an AOT executable), and the executable produces golden output."""
+    n, buf = 1000, 1500
+    k = rng.integers(0, 2**32, buf, dtype=np.uint64).astype(np.uint32)
+    kern = trs.RadixSortKernel(count=n)
+    exe = kern.compile(buffer_len=buf)
+    out = np.asarray(exe(jnp.asarray(k)))
+    assert np.array_equal(out, golden_sort(k, count=n))
+    # default buffer length = count
+    kern2 = trs.RadixSortKernel(count=n, has_values=True)
+    exe2 = kern2.compile()
+    kk = k[:n]
+    vv = np.arange(n, dtype=np.uint32)
+    ok, ov = exe2(jnp.asarray(kk), jnp.asarray(vv))
+    rk, rv = golden_sort(kk, vv)
+    assert np.array_equal(np.asarray(ok), rk)
+    assert np.array_equal(np.asarray(ov), rv)
+
+
 def test_check_order_kernel(rng):
     n = 4096
     k = np.sort(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))

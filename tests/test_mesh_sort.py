@@ -109,6 +109,22 @@ def test_mesh_sort_overlap_validation(rng):
         mesh_sort(sharded(mesh, "x", keys), mesh=mesh, overlap_chunks=7)
 
 
+def test_mesh_sort_descending(rng):
+    mesh = make_mesh(4)
+    n = 1000
+    keys = rng.integers(0, 2**8, size=n, dtype=np.uint32)  # dupes: stability
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+        descending=True,
+    )
+    rk, rv = golden_sort(keys, values, descending=True)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
 def test_mesh_sort_jit_sharded(rng):
     """The whole mesh sort jits end-to-end with sharded inputs."""
     mesh = make_mesh(8)

@@ -126,3 +126,19 @@ def test_exchange_sort_flags(rng):
     np.testing.assert_array_equal(
         np.asarray(got), golden_sort(keys, bit_count=8, count=3333)
     )
+
+
+def test_exchange_sort_descending(rng):
+    mesh = make_mesh(4)
+    n = 1000
+    keys = rng.integers(0, 2**8, size=n, dtype=np.uint32)  # dupes: stability
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = exchange_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+        descending=True,
+    )
+    rk, rv = golden_sort(keys, values, descending=True)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)

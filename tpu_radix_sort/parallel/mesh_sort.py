@@ -152,6 +152,7 @@ def mesh_sort(
     count=None,
     bit_count: int = 32,
     total_order: bool = False,
+    descending: bool = False,
     block_rows=None,
     interpret=None,
     overlap_chunks: int = 1,
@@ -160,7 +161,8 @@ def mesh_sort(
 
     Semantics match the single-chip :func:`tpu_radix_sort.sort` (and hence
     the reference's option surface): first `count` elements sorted, suffix
-    untouched, `bit_count` low bits ordered, stable.
+    untouched, `bit_count` low bits ordered, stable, optional stable
+    `descending` (ascending sort of the flipped masked key).
 
     `keys`/`values` are global 1-D arrays; shard them along `axis_name`
     (``NamedSharding(mesh, P(axis_name))``) for the exchange to ride ICI.
@@ -204,11 +206,17 @@ def mesh_sort(
         u_full = common.to_sortable_u32(keys[:count])
     masked = bit_count < 32
     mkeys = u_full & common.bit_mask(bit_count)
+    if descending:
+        # stable descending == stable ascending on the flipped masked key
+        # (same reasoning as the single-chip path, ops/sort.py)
+        mkeys = mkeys ^ common.bit_mask(bit_count)
 
     mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
     idx = jnp.arange(n_pad, dtype=jnp.uint32)
     arrs = [mk, idx]
-    if masked:
+    if masked or descending:
+        # carry the original full key for output recovery (masked keys drop
+        # high bits; descending keys are bit-flipped)
         arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
     if values is not None:
         v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
@@ -231,7 +239,8 @@ def mesh_sort(
     )
     out = fn(tuple(arrs))
 
-    u_sorted = out[2] if masked else out[0]
+    carry_full = masked or descending
+    u_sorted = out[2] if carry_full else out[0]
     u_sorted = u_sorted[:count]
     if total_order:
         out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
@@ -241,7 +250,7 @@ def mesh_sort(
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys
-    v_sorted = out[3 if masked else 2][:count]
+    v_sorted = out[3 if carry_full else 2][:count]
     out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])

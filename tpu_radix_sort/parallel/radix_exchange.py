@@ -231,6 +231,7 @@ def exchange_sort(
     count=None,
     bit_count: int = 32,
     total_order: bool = False,
+    descending: bool = False,
     block_rows=None,
     interpret=None,
     use_ragged_a2a=None,
@@ -238,7 +239,8 @@ def exchange_sort(
     """Distributed stable sort via exact-splitter radix exchange.
 
     Same semantics and signature as :func:`mesh_sort` (first `count` sorted,
-    suffix untouched, low `bit_count` bits ordered, stable). One data
+    suffix untouched, low `bit_count` bits ordered, stable; `descending`
+    via the flipped-masked-key trick like the single-chip path). One data
     exchange; exactly balanced under any key distribution.
 
     `use_ragged_a2a` picks the exchange transport independently of the
@@ -279,11 +281,15 @@ def exchange_sort(
         u_full = common.to_sortable_u32(keys[:count])
     masked = bit_count < 32
     mkeys = u_full & common.bit_mask(bit_count)
+    if descending:
+        # stable descending == stable ascending on the flipped masked key
+        mkeys = mkeys ^ common.bit_mask(bit_count)
+    carry_full = masked or descending
 
     mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
     idx = jnp.arange(n_pad, dtype=jnp.uint32)
     arrs = [mk, idx]
-    if masked:
+    if carry_full:
         arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
     if values is not None:
         v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
@@ -305,7 +311,7 @@ def exchange_sort(
     )
     out = fn(tuple(arrs))
 
-    u_sorted = (out[2] if masked else out[0])[:count]
+    u_sorted = (out[2] if carry_full else out[0])[:count]
     if total_order:
         out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
     else:
@@ -314,7 +320,7 @@ def exchange_sort(
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys
-    v_sorted = out[3 if masked else 2][:count]
+    v_sorted = out[3 if carry_full else 2][:count]
     out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])
