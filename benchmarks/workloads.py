@@ -132,16 +132,30 @@ def main():
           check=lambda ls: np.array_equal(ls[0], rk4))
 
     # past the reference's ceiling: its default WebGPU limits cap at 2^26
-    # elements (maxBufferSize, README.md:100-106); one v5e chip does 2^27
+    # elements (maxBufferSize, README.md:100-106); one v5e chip does 2^27+
     n = 1 << 27
-    k128 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
-    ref128 = np.sort(np.asarray(k128))
+    k128np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    k128 = jnp.asarray(k128np)
+    ref128 = np.sort(k128np)
     bench("128M u32 keys-only (2x the reference's ceiling)",
           lambda a: trs.sort(a), k128, n,
           check=lambda ls: np.array_equal(ls[0], ref128))
     v128 = jnp.arange(n, dtype=jnp.uint32)
+    order128 = np.argsort(k128np, kind="stable").astype(np.uint32)
     bench("128M u32 key+value (rank payload)",
-          lambda kv: tuple(trs.sort(*kv, values_are_ranks=True)), (k128, v128), n)
+          lambda kv: tuple(trs.sort(*kv, values_are_ranks=True)), (k128, v128), n,
+          check=lambda ls: np.array_equal(ls[0], ref128)
+          and np.array_equal(ls[1], order128))
+    del k128, v128, ref128, order128, k128np
+
+    # 256M keys-only: 4x the reference's ceiling on one chip
+    n = 1 << 28
+    k256np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    k256 = jnp.asarray(k256np)
+    ref256 = np.sort(k256np)
+    bench("256M u32 keys-only (4x the reference's ceiling)",
+          lambda a: trs.sort(a), k256, n,
+          check=lambda ls: np.array_equal(ls[0], ref256))
 
 
 if __name__ == "__main__":

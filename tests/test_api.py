@@ -65,6 +65,7 @@ def test_kernel_value_mismatch_raises():
 def test_legacy_flags_accepted():
     # reference options exist but are perf-neutral no-ops there too
     trs.RadixSortKernel(count=8, local_shuffle=True, avoid_bank_conflicts=True)
+    trs.PrefixSumKernel(count=8, avoid_bank_conflicts=True)
 
 
 def test_packed_kernel(rng):

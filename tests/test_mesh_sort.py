@@ -125,6 +125,15 @@ def test_mesh_sort_descending(rng):
     np.testing.assert_array_equal(np.asarray(gv), rv)
 
 
+def test_mesh_sort_total_order_negative_floats(rng):
+    # the beyond-reference total order must hold across shards too
+    mesh = make_mesh(4)
+    f = (rng.random(1024) * 100 - 50).astype(np.float32)
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(f)), mesh=mesh,
+                    total_order=True)
+    np.testing.assert_array_equal(np.asarray(got), np.sort(f))
+
+
 def test_mesh_sort_jit_sharded(rng):
     """The whole mesh sort jits end-to-end with sharded inputs."""
     mesh = make_mesh(8)

@@ -144,10 +144,15 @@ class PrefixSumKernel:
     """Work-efficient exclusive prefix sum over a u32 buffer (public op).
 
     Reference: `PrefixSumKernel` (`src/kernels/PrefixSumKernel.ts`),
-    exclusive, in place over the first `count` elements.
+    exclusive, in place over the first `count` elements. Like the sort
+    kernel, `avoid_bank_conflicts` is accepted for API compatibility and
+    ignored (the reference ships it disabled and measures no effect,
+    `README.md:162-168`; VMEM has no shared-memory banks).
     """
 
-    def __init__(self, *, count: int, inclusive: bool = False, block_rows=None):
+    def __init__(self, *, count: int, inclusive: bool = False, block_rows=None,
+                 avoid_bank_conflicts: bool = False):
+        del avoid_bank_conflicts  # accepted, ignored (see docstring)
         self.count = int(count)
         self._fn = jax.jit(
             functools.partial(
