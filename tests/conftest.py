@@ -23,6 +23,21 @@ def _cpu_default_device():
         yield
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles many hundreds of XLA:CPU executables in one
+    process; without this, accumulation reproducibly ends in a native
+    segfault inside `backend_compile_and_load` (~88% through the suite,
+    jax 0.9.0 — observed twice at the same spot, while every module green
+    in isolation). Cache reuse matters within a module (tests share pad
+    windows), not across modules.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

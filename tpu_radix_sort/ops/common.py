@@ -47,6 +47,22 @@ def default_interpret() -> bool:
     return not is_tpu_backend()
 
 
+def default_interpret_for_mesh(mesh) -> bool:
+    """Interpret-mode default for mesh-level ops: decided by the mesh's own
+    devices (a CPU test mesh needs Pallas interpret mode even when a TPU
+    backend is also registered). TRS_INTERPRET still overrides.
+    """
+    env = os.environ.get("TRS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    try:
+        if all(d.platform == "cpu" for d in mesh.devices.flat):
+            return True
+    except Exception:  # pragma: no cover - exotic mesh objects
+        pass
+    return default_interpret()
+
+
 def to_sortable_u32(keys: jax.Array) -> jax.Array:
     """Bitcast keys to the u32 bit pattern the reference orders by.
 

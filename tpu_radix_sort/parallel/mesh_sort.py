@@ -185,7 +185,7 @@ def mesh_sort(
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
     if interpret is None:
-        interpret = common.default_interpret()
+        interpret = common.default_interpret_for_mesh(mesh)
     n_dev = mesh.shape[axis_name]
 
     if count <= 1:

@@ -262,7 +262,7 @@ def exchange_sort(
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
     if interpret is None:
-        interpret = common.default_interpret()
+        interpret = common.default_interpret_for_mesh(mesh)
     if use_ragged_a2a is None:
         use_ragged_a2a = all(
             d.platform != "cpu" for d in mesh.devices.flat
