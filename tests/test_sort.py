@@ -265,6 +265,56 @@ def test_transposed_lane_stage_path(rng, monkeypatch):
     assert np.array_equal(np.asarray(ov), rv)
 
 
+def test_nonpow2_split_sort_matches_golden(rng, monkeypatch):
+    """The non-pow2 split path (prefix sort + remainder sort + one merge)
+    must be byte-exact vs golden across the feature surface. The threshold
+    is lowered so interpret-mode sizes exercise it; n is chosen with >= 33%
+    pad waste so the split actually activates."""
+    from tpu_radix_sort.ops import sort as sort_mod
+
+    monkeypatch.setattr(sort_mod, "SPLIT_MIN_N", 256)
+    for n in (300, 1040, 1500):
+        assert 3 * max(128, 1 << (n - 1).bit_length()) >= 4 * n  # split active
+        k = _rand_keys(rng, n, hi=max(2, n // 4))  # duplicates: stability
+        v = np.arange(n, dtype=np.uint32)
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        rk, rv = golden_sort(k, v)
+        # keys-only
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, method="bitonic")), rk)
+        # stable key+value, generic and rank payload
+        ok, ov = trs.sort(kj, vj, method="bitonic")
+        np.testing.assert_array_equal(np.asarray(ok), rk)
+        np.testing.assert_array_equal(np.asarray(ov), rv)
+        ok, ov = trs.sort(kj, vj, method="bitonic", values_are_ranks=True)
+        np.testing.assert_array_equal(np.asarray(ok), rk)
+        np.testing.assert_array_equal(np.asarray(ov), rv)
+        # masked bit_count + sub-count + descending + check_order
+        rk8, rv8 = golden_sort(k, v, bit_count=8)
+        ok8, ov8 = trs.sort(kj, vj, bit_count=8, method="bitonic")
+        np.testing.assert_array_equal(np.asarray(ok8), rk8)
+        np.testing.assert_array_equal(np.asarray(ov8), rv8)
+        c = (2 * n) // 3
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, count=c, method="bitonic")),
+            golden_sort(k, count=c))
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, descending=True, method="bitonic")),
+            golden_sort(k, descending=True))
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, check_order=True, method="bitonic")), rk)
+    # real 0xFFFFFFFF keys must precede the split path's sentinel pads
+    n = 1040
+    k = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    k[rng.integers(0, n, 200)] = _rand_keys(rng, 200)
+    v = np.arange(n, dtype=np.uint32)
+    rk, rv = golden_sort(k, v)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v), method="bitonic",
+                      values_are_ranks=True)
+    np.testing.assert_array_equal(np.asarray(ok), rk)
+    np.testing.assert_array_equal(np.asarray(ov), rv)
+
+
 def test_values_are_ranks_byte_exact(rng):
     """The rank-payload fast path (2-array engine) must be byte-identical to
     the generic 3-array path under heavy key duplication — the case where a

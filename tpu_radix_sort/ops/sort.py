@@ -29,6 +29,72 @@ from . import bitonic, checksort, common
 
 _METHODS = ("auto", "bitonic", "radix", "xla")
 
+# The bitonic network needs a power-of-two length, so a plain pad can cost
+# up to 2x (measured: 65M keys-only 144 ms vs 64M 70 ms on v5e). When the
+# pad waste is >= 33% and the input is large enough to matter, sort the
+# largest power-of-two prefix and the remainder separately and combine
+# with ONE bitonic merge (log n stages instead of re-running the whole
+# log^2 n network on 2x the data): 65M drops to ~90 ms. Module constant so
+# tests can lower it to exercise the path at interpret-mode sizes.
+SPLIT_MIN_N = 1 << 21
+
+
+def _split_pad_sort(mkeys, payloads, *, stable, use_rank, ordered,
+                    block_rows, interpret, n_pad):
+    """Sort a non-pow2 input as prefix-sort + remainder-sort + one merge.
+
+    Returns the padded sorted column tuple (length n_pad), same column
+    layout as the direct path: [masked key, tie (if stable), payloads...].
+    Stability and byte-exactness follow from uniqueness of the stable
+    order: real (key, tie) tuples are pairwise distinct, pads sort last.
+    """
+    n = mkeys.shape[0]
+    a = n_pad // 2  # largest pow2 <= n (n is not a power of two here)
+    r = n - a
+    rb = max(bitonic.LANES, common.next_pow2(r))
+
+    def build(lo, hi, pad_len):
+        cols = [common.pad_to(mkeys[lo:hi], pad_len, common.SENTINEL_U32)]
+        if use_rank:
+            cols.append(
+                common.pad_to(ordered[0][lo:hi], pad_len, common.SENTINEL_U32)
+            )
+            tail = ordered[1:]
+        else:
+            if stable:
+                # global index tie-break, continued past the real data so
+                # pads sort after every real element of this part
+                cols.append(jnp.arange(lo, lo + pad_len, dtype=jnp.uint32))
+            tail = ordered
+        cols += [common.pad_to(p[lo:hi], pad_len, jnp.uint32(0)) for p in tail]
+        return tuple(cols)
+
+    A = bitonic.sort_padded(
+        build(0, a, a), stable=stable, block_rows=block_rows,
+        interpret=interpret,
+    )
+    B = bitonic.sort_padded(
+        build(a, n, rb), stable=stable, block_rows=block_rows,
+        interpret=interpret,
+    )
+    # extend B to length a with identical sentinel tuples (byte-no-op
+    # exchanges, see sort_padded's contract), reverse it so
+    # [A ascending ++ B descending] is a bitonic sequence, and merge.
+    ext = a - rb
+    fills = [common.SENTINEL_U32]
+    if use_rank or stable:
+        fills.append(common.SENTINEL_U32)
+    fills += [jnp.uint32(0)] * (len(B) - len(fills))
+    if ext:
+        B = tuple(
+            jnp.concatenate([col, jnp.full((ext,), f, jnp.uint32)])
+            for col, f in zip(B, fills)
+        )
+    C = tuple(jnp.concatenate([x, y[::-1]]) for x, y in zip(A, B))
+    return bitonic.merge_padded(
+        C, stable=stable, block_rows=block_rows, interpret=interpret
+    )
+
 
 def _resolve_method(method: str) -> str:
     if method not in _METHODS:
@@ -76,8 +142,6 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
     # stability via an index tie-break key (or a rank payload serving as one).
     n = mkeys.shape[0]
     n_pad = max(bitonic.LANES, common.next_pow2(n))
-    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
-    arrs = [mk]
     use_rank = stable and rank_payload is not None
     if use_rank:
         # the rank payload moves to the tie-break slot (arrs[1]); pads get
@@ -86,17 +150,30 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
         ordered = [payloads[rank_payload]] + [
             p for i, p in enumerate(payloads) if i != rank_payload
         ]
-        # pad tie = pad key = SENTINEL_U32: real max-key elements precede
-        # pads because their rank is < 0xFFFFFFFF (the contract)
-        arrs.append(common.pad_to(ordered[0], n_pad, common.SENTINEL_U32))
-        arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered[1:]]
     else:
-        if stable:
-            arrs.append(jnp.arange(n_pad, dtype=jnp.uint32))
-        arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in payloads]
-    out = bitonic.sort_padded(
-        tuple(arrs), stable=stable, block_rows=block_rows, interpret=interpret
-    )
+        ordered = list(payloads)
+    if n >= SPLIT_MIN_N and 3 * n_pad >= 4 * n and n_pad // 2 >= bitonic.LANES:
+        # non-pow2 with >= 33% pad waste: prefix + remainder + one merge
+        out = _split_pad_sort(
+            mkeys, payloads, stable=stable, use_rank=use_rank,
+            ordered=ordered, block_rows=block_rows, interpret=interpret,
+            n_pad=n_pad,
+        )
+    else:
+        arrs = [common.pad_to(mkeys, n_pad, common.SENTINEL_U32)]
+        if use_rank:
+            # pad tie = pad key = SENTINEL_U32: real max-key elements precede
+            # pads because their rank is < 0xFFFFFFFF (the contract)
+            arrs.append(common.pad_to(ordered[0], n_pad, common.SENTINEL_U32))
+            arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered[1:]]
+        else:
+            if stable:
+                arrs.append(jnp.arange(n_pad, dtype=jnp.uint32))
+            arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered]
+        out = bitonic.sort_padded(
+            tuple(arrs), stable=stable, block_rows=block_rows,
+            interpret=interpret,
+        )
     k = out[0][:n]
     if use_rank:
         # ordered[] only moved the rank payload to the front; undo that
