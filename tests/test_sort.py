@@ -273,7 +273,8 @@ def test_nonpow2_split_sort_matches_golden(rng, monkeypatch):
     from tpu_radix_sort.ops import sort as sort_mod
 
     monkeypatch.setattr(sort_mod, "SPLIT_MIN_N", 256)
-    for n in (300, 1040, 1500):
+    # 1324 recurses: 1024 + (256 + 44) — two split levels
+    for n in (300, 1040, 1324, 1500):
         assert 3 * max(128, 1 << (n - 1).bit_length()) >= 4 * n  # split active
         k = _rand_keys(rng, n, hi=max(2, n // 4))  # duplicates: stability
         v = np.arange(n, dtype=np.uint32)

@@ -39,23 +39,22 @@ _METHODS = ("auto", "bitonic", "radix", "xla")
 SPLIT_MIN_N = 1 << 21
 
 
-def _split_pad_sort(mkeys, payloads, *, stable, use_rank, ordered,
-                    block_rows, interpret, n_pad):
-    """Sort a non-pow2 input as prefix-sort + remainder-sort + one merge.
+def _bitonic_pad_sort(mkeys, *, stable, use_rank, ordered, block_rows,
+                      interpret):
+    """Pad + sort through the bitonic engine, splitting non-pow2 inputs.
 
-    Returns the padded sorted column tuple (length n_pad), same column
-    layout as the direct path: [masked key, tie (if stable), payloads...].
-    Stability and byte-exactness follow from uniqueness of the stable
-    order: real (key, tie) tuples are pairwise distinct, pads sort last.
+    Returns the padded sorted column tuple (length next_pow2(n)), column
+    layout [masked key, tie (if stable), payloads...]. A range whose pow2
+    pad would waste >= 33% is sorted as prefix + remainder (recursively)
+    and combined with ONE `merge_padded` (log n stages); stability and
+    byte-exactness follow from uniqueness of the stable order: real
+    (key, tie) tuples are pairwise distinct and pads sort last.
     """
-    n = mkeys.shape[0]
-    a = n_pad // 2  # largest pow2 <= n (n is not a power of two here)
-    r = n - a
-    rb = max(bitonic.LANES, common.next_pow2(r))
-
     def build(lo, hi, pad_len):
         cols = [common.pad_to(mkeys[lo:hi], pad_len, common.SENTINEL_U32)]
         if use_rank:
+            # pad tie = pad key = SENTINEL_U32: real max-key elements
+            # precede pads because their rank is < 0xFFFFFFFF (contract)
             cols.append(
                 common.pad_to(ordered[0][lo:hi], pad_len, common.SENTINEL_U32)
             )
@@ -69,31 +68,36 @@ def _split_pad_sort(mkeys, payloads, *, stable, use_rank, ordered,
         cols += [common.pad_to(p[lo:hi], pad_len, jnp.uint32(0)) for p in tail]
         return tuple(cols)
 
-    A = bitonic.sort_padded(
-        build(0, a, a), stable=stable, block_rows=block_rows,
-        interpret=interpret,
-    )
-    B = bitonic.sort_padded(
-        build(a, n, rb), stable=stable, block_rows=block_rows,
-        interpret=interpret,
-    )
-    # extend B to length a with identical sentinel tuples (byte-no-op
-    # exchanges, see sort_padded's contract), reverse it so
-    # [A ascending ++ B descending] is a bitonic sequence, and merge.
-    ext = a - rb
-    fills = [common.SENTINEL_U32]
-    if use_rank or stable:
-        fills.append(common.SENTINEL_U32)
-    fills += [jnp.uint32(0)] * (len(B) - len(fills))
-    if ext:
-        B = tuple(
-            jnp.concatenate([col, jnp.full((ext,), f, jnp.uint32)])
-            for col, f in zip(B, fills)
+    def sorted_cols(lo, hi):
+        m = hi - lo
+        m_pad = max(bitonic.LANES, common.next_pow2(m))
+        a = m_pad // 2
+        if not (m >= SPLIT_MIN_N and 3 * m_pad >= 4 * m and a >= bitonic.LANES):
+            return bitonic.sort_padded(
+                build(lo, hi, m_pad), stable=stable, block_rows=block_rows,
+                interpret=interpret,
+            )
+        A = sorted_cols(lo, lo + a)  # exactly pow2: no pads inside
+        B = sorted_cols(lo + a, hi)  # length next_pow2(m - a) <= a
+        # extend B to length a with identical sentinel tuples (byte-no-op
+        # exchanges, see sort_padded's contract), reverse it so
+        # [A ascending ++ B descending] is a bitonic sequence, and merge.
+        ext = a - B[0].shape[0]
+        if ext:
+            fills = [common.SENTINEL_U32]
+            if use_rank or stable:
+                fills.append(common.SENTINEL_U32)
+            fills += [jnp.uint32(0)] * (len(B) - len(fills))
+            B = tuple(
+                jnp.concatenate([col, jnp.full((ext,), f, jnp.uint32)])
+                for col, f in zip(B, fills)
+            )
+        C = tuple(jnp.concatenate([x, y[::-1]]) for x, y in zip(A, B))
+        return bitonic.merge_padded(
+            C, stable=stable, block_rows=block_rows, interpret=interpret
         )
-    C = tuple(jnp.concatenate([x, y[::-1]]) for x, y in zip(A, B))
-    return bitonic.merge_padded(
-        C, stable=stable, block_rows=block_rows, interpret=interpret
-    )
+
+    return sorted_cols(0, mkeys.shape[0])
 
 
 def _resolve_method(method: str) -> str:
@@ -141,7 +145,6 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
     # bitonic network engine: pad to pow2 multiple of 128 with sentinels;
     # stability via an index tie-break key (or a rank payload serving as one).
     n = mkeys.shape[0]
-    n_pad = max(bitonic.LANES, common.next_pow2(n))
     use_rank = stable and rank_payload is not None
     if use_rank:
         # the rank payload moves to the tie-break slot (arrs[1]); pads get
@@ -152,28 +155,10 @@ def _engine_sort(mkeys, payloads, *, stable, method, block_rows, interpret,
         ]
     else:
         ordered = list(payloads)
-    if n >= SPLIT_MIN_N and 3 * n_pad >= 4 * n and n_pad // 2 >= bitonic.LANES:
-        # non-pow2 with >= 33% pad waste: prefix + remainder + one merge
-        out = _split_pad_sort(
-            mkeys, payloads, stable=stable, use_rank=use_rank,
-            ordered=ordered, block_rows=block_rows, interpret=interpret,
-            n_pad=n_pad,
-        )
-    else:
-        arrs = [common.pad_to(mkeys, n_pad, common.SENTINEL_U32)]
-        if use_rank:
-            # pad tie = pad key = SENTINEL_U32: real max-key elements precede
-            # pads because their rank is < 0xFFFFFFFF (the contract)
-            arrs.append(common.pad_to(ordered[0], n_pad, common.SENTINEL_U32))
-            arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered[1:]]
-        else:
-            if stable:
-                arrs.append(jnp.arange(n_pad, dtype=jnp.uint32))
-            arrs += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in ordered]
-        out = bitonic.sort_padded(
-            tuple(arrs), stable=stable, block_rows=block_rows,
-            interpret=interpret,
-        )
+    out = _bitonic_pad_sort(
+        mkeys, stable=stable, use_rank=use_rank, ordered=ordered,
+        block_rows=block_rows, interpret=interpret,
+    )
     k = out[0][:n]
     if use_rank:
         # ordered[] only moved the rank payload to the front; undo that
