@@ -148,6 +148,16 @@ def main():
           and np.array_equal(ls[1], order128))
     del k128, v128, ref128, order128, k128np
 
+    # non-pow2 split-sort: 65M would pad to 128M (2x) without the split
+    n = (1 << 26) + (1 << 20)
+    k65np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    k65 = jnp.asarray(k65np)
+    ref65 = np.sort(k65np)
+    bench("65M u32 keys-only (non-pow2 split-sort)",
+          lambda a: trs.sort(a), k65, n,
+          check=lambda ls: np.array_equal(ls[0], ref65))
+    del k65, ref65, k65np
+
     # 256M keys-only: 4x the reference's ceiling on one chip
     n = 1 << 28
     k256np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
