@@ -54,7 +54,7 @@ CHECK_EVERY_PASSES = 2
 # ---------------------------------------------------------------- histogram
 
 
-def _hist_kernel(bit_ref, x_ref, o_ref, *, rows):
+def _hist_kernel(bit_ref, x_ref, o_ref):
     # counts are scalars: write them through SMEM (a (R, 1) VMEM block would
     # violate the (8, 128) tiling minimum of the Mosaic lowering).
     # `bit` arrives as a prefetched scalar so every pass of the LSD loop
@@ -86,7 +86,7 @@ def digit_histogram(u, *, bit, block_rows=None, interpret=None):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )
     return pl.pallas_call(
-        functools.partial(_hist_kernel, rows=block_rows),
+        _hist_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, nblocks), jnp.uint32),
         interpret=interpret,
@@ -124,7 +124,7 @@ def _cumsum_mask(mask_u32, rows):
     return x + (tot - own)
 
 
-def _reorder_kernel(offs_ref, *refs, n_arr, rows, out_pad_rows):
+def _reorder_kernel(offs_ref, *refs, n_arr, rows):
     """One block: 4-way stable split in VMEM + window-DMA runs to HBM.
 
     offs_ref = prefetched scalars: [bit, offsets (R * nblocks, digit-major)].
@@ -244,7 +244,6 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
         _reorder_kernel,
         n_arr=n_arr,
         rows=block_rows,
-        out_pad_rows=out_rows,
     )
     scalars = jnp.concatenate(
         [jnp.asarray([bit], jnp.int32), offs.reshape(-1).astype(jnp.int32)]
