@@ -72,6 +72,15 @@ VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 # _TEST_TRANSPOSE_IN_INTERPRET to cover the path.
 TRANSPOSE_LANE_STAGES = True
 _TEST_TRANSPOSE_IN_INTERPRET = False
+# Keys-only (unstable, 1-array) CE via signed min/max on a bias+direction
+# XOR-ed view: out = where(first, min(y, fwd), max(y, bwd)) — drops the
+# compare/XOR decision chain and the partner select. Valid keys-only
+# because equal-key exchanges are byte no-ops; the direction mask is
+# XOR-folded into the data once per round instead of entering each stage's
+# decision (descending == ascending of ~y). Mosaic cannot legalize
+# unsigned vector min (arith.minui, measured 2026-08-17), hence the
+# 0x80000000 sign bias + i32 min/max.
+USE_MINMAX_CE = True
 
 
 def _roll(x, shift, axis):
@@ -162,6 +171,30 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
     return tuple(jnp.where(take_partner, p, e) for e, p in zip(arrs, partners))
 
 
+def _ce_roll_minmax(y, j, rid, cid):
+    """Keys-only CE at stride j on the XOR-folded view y (see USE_MINMAX_CE).
+
+    y's byte order is already "ascending everywhere" (direction and sign
+    bias XOR-folded upstream), so the exchange is a pure signed min/max:
+    the first element of each pair keeps min(pair) via the forward roll,
+    the second keeps max(pair) via the backward roll — no partner select,
+    no compare chain. Garbage lanes of each roll land only on positions
+    whose select branch ignores them.
+    """
+    yi = jax.lax.bitcast_convert_type(y, jnp.int32)
+    if j >= LANES:
+        m = j // LANES
+        first = (rid & m) == 0
+        fwd = _roll(yi, -m, 0)
+        bwd = _roll(yi, m, 0)
+    else:
+        first = (cid & j) == 0
+        fwd = _roll(yi, -j, 1)
+        bwd = _roll(yi, j, 1)
+    out = jnp.where(first, jnp.minimum(yi, fwd), jnp.maximum(yi, bwd))
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
 def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
                    dyn_k, transpose_lanes=True):
     """Run `stages` = [(k, j_local)] on one VMEM block of (kernel_rows, 128).
@@ -180,6 +213,9 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
     outs = refs[n_arr:]
     base = pl.program_id(0) * base_scale
     arrs = tuple(r[:].reshape(kernel_rows, LANES) for r in ins)
+    # keys-only fast path: fold sign bias + per-round direction into the
+    # data by XOR and run every CE as signed min/max (see USE_MINMAX_CE)
+    fast = USE_MINMAX_CE and not stable and n_arr == 1
     shape = (kernel_rows, LANES)
     # hoist the index planes: one iota pair per kernel, not per stage
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -205,8 +241,15 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             return ((local_t if tr else local) & k) == 0
         return (base & k) == 0  # scalar
 
+    def dm32(k, tr):
+        """Direction as a XOR mask: 0 where ascending, ~0 where descending
+        (descending order == ascending order of the bitwise complement)."""
+        u = direction(k, tr)
+        return jnp.asarray(u, jnp.uint32) - jnp.uint32(1)
+
+    _unset = object()
     up = None
-    prev = (object(), False)
+    prev = (_unset, False)
     for k, j in stages:
         is_lane = j < LANES
         want_t = transpose_lanes and is_lane and kernel_rows > 1
@@ -214,9 +257,24 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             arrs = tuple(jnp.transpose(a) for a in arrs)
             transposed = want_t
         if (k, transposed) != prev:  # direction mask is per round
-            up = direction(k, transposed)
+            if fast:
+                # re-fold the data to the new round's direction (+ the i32
+                # sign bias on entry); a transpose-only change needs nothing
+                # (the folded state rides the transpose)
+                tgt = dm32(k, transposed)
+                if prev[0] is _unset:
+                    arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ tgt),)
+                elif k != prev[0]:
+                    arrs = (arrs[0] ^ (dm32(prev[0], transposed) ^ tgt),)
+            else:
+                up = direction(k, transposed)
             prev = (k, transposed)
-        if transposed:
+        if fast:
+            jj = j * LANES if transposed else j
+            arrs = (_ce_roll_minmax(
+                arrs[0], jj, rid_t if transposed else rid,
+                cid_t if transposed else cid),)
+        elif transposed:
             # lane stride j -> sublane stride of j rows on the transposed
             # view; first-mask bit j now lives in rid_t
             arrs = _ce_roll(arrs, stable, up, j * LANES, rid_t, cid_t)
@@ -231,6 +289,10 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             arrs = _ce_roll(arrs, stable, up, j, rid, cid)
     if transposed:
         arrs = tuple(jnp.transpose(a) for a in arrs)
+    if fast and prev[0] is not _unset:
+        # unfold: remove the sign bias + the last round's direction mask
+        # (in the untransposed orientation)
+        arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ dm32(prev[0], False)),)
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 
