@@ -134,6 +134,53 @@ def test_mesh_sort_total_order_negative_floats(rng):
     np.testing.assert_array_equal(np.asarray(got), np.sort(f))
 
 
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_mesh_sort_check_order(rng, n_dev):
+    """Distributed early-exit gate (round-2 VERDICT item 3): sorted input
+    passes through byte-exact; unsorted input — including disorder confined
+    to a single shard boundary — still sorts to golden."""
+    mesh = make_mesh(n_dev)
+    n = 4096
+    values = np.arange(n, dtype=np.uint32)
+
+    srt = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", jnp.asarray(srt)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh, check_order=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gk), srt)
+    np.testing.assert_array_equal(np.asarray(gv), values)
+
+    # disorder ONLY at a shard boundary: per-shard checks alone would pass
+    bad = srt.copy()
+    half = n // 2
+    bad[half - 1], bad[half] = bad[half], bad[half - 1]
+    if bad[half - 1] == bad[half]:
+        bad[half - 1] += 1  # ensure a real inversion
+    gk = mesh_sort(sharded(mesh, "x", jnp.asarray(bad)), mesh=mesh,
+                   check_order=True)
+    np.testing.assert_array_equal(np.asarray(gk), golden_sort(bad))
+
+    rnd = rng.integers(0, 2**10, size=n, dtype=np.uint32)  # dupes: stability
+    gk, gv = mesh_sort(
+        sharded(mesh, "x", jnp.asarray(rnd)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh, check_order=True,
+    )
+    rk, rv = golden_sort(rnd, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
+def test_mesh_sort_check_order_jits(rng):
+    mesh = make_mesh(4)
+    srt = np.sort(rng.integers(0, 2**32, size=2048, dtype=np.uint32))
+    f = jax.jit(lambda k: mesh_sort(k, mesh=mesh, check_order=True))
+    got = f(sharded(mesh, "x", jnp.asarray(srt)))
+    np.testing.assert_array_equal(np.asarray(got), srt)
+
+
 def test_mesh_sort_jit_sharded(rng):
     """The whole mesh sort jits end-to-end with sharded inputs."""
     mesh = make_mesh(8)

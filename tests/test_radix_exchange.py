@@ -99,6 +99,7 @@ def test_emulation_matches_ragged_all_to_all_semantics(rng):
             jax.shard_map(
                 lambda a: ragged_all_to_all_emulated(
                     a,
+                    jnp.zeros((L,), jnp.uint32),
                     jnp.asarray(starts),
                     jnp.asarray(sizes),
                     jnp.asarray(out_offsets),
@@ -142,3 +143,108 @@ def test_exchange_sort_descending(rng):
     rk, rv = golden_sort(keys, values, descending=True)
     np.testing.assert_array_equal(np.asarray(gk), rk)
     np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
+def test_exchange_sort_check_order(rng):
+    """Distributed early-exit gate on the exchange strategy (round-2 VERDICT
+    item 3): sorted passthrough is byte-exact; boundary-only disorder and
+    random input still reach golden."""
+    mesh = make_mesh(8)
+    n = 4096
+    values = np.arange(n, dtype=np.uint32)
+    srt = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    gk, gv = exchange_sort(
+        sharded(mesh, "x", jnp.asarray(srt)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh, check_order=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gk), srt)
+    np.testing.assert_array_equal(np.asarray(gv), values)
+
+    bad = srt.copy()
+    half = n // 2  # a shard boundary on the 8-device mesh
+    bad[half - 1], bad[half] = bad[half], bad[half - 1]
+    if bad[half - 1] == bad[half]:
+        bad[half - 1] += 1
+    gk = exchange_sort(sharded(mesh, "x", jnp.asarray(bad)), mesh=mesh,
+                       check_order=True)
+    np.testing.assert_array_equal(np.asarray(gk), golden_sort(bad))
+
+
+def test_exchange_sort_merge_and_fallback_branches(rng):
+    """Phase 4 is a log2(D)-round merge tree when every chunk fits its slot
+    (uniform data), and the contiguous full re-sort under slot-overflowing
+    skew (already-sorted input sends one full-L chunk). Both branches must
+    reach golden byte-exactly; stability pinned with heavy duplicates."""
+    mesh = make_mesh(8)
+    n = 8192
+    values = np.arange(n, dtype=np.uint32)
+
+    # merge branch: uniform random keys -> every chunk ~L/D <= slot
+    keys = rng.integers(0, 2**16, size=n, dtype=np.uint32)  # dupes
+    gk, gv = exchange_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+    )
+    rk, rv = golden_sort(keys, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+    # fallback branch: sorted keys -> shard d sends its whole block to d
+    # (chunk size L > slot = 2L/D), forcing the contiguous re-sort path
+    srt = np.sort(keys)
+    gk, gv = exchange_sort(
+        sharded(mesh, "x", jnp.asarray(srt)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+    )
+    rk, rv = golden_sort(srt, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
+def test_exchange_sort_nonpow2_devices(rng):
+    """Non-pow2 D: the merge tree pads to Dp slots of identical sentinel
+    tuples; output must still be golden."""
+    mesh = make_mesh(6)
+    n = 6000
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = exchange_sort(sharded(mesh, "x", jnp.asarray(keys)), mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+
+
+def test_real_ragged_all_to_all_probe(rng):
+    """Probe for the REAL `jax.lax.ragged_all_to_all` on the CPU test mesh
+    (round-2 VERDICT item 8: flip the dryrun to the real collective the day
+    XLA:CPU grows the thunk). As of jax 0.9.0 XLA:CPU raises UNIMPLEMENTED
+    (`ragged-all-to-all is not supported by XLA:CPU ThunkEmitter` — verified
+    2026-08-17 on the real 8-device mesh; an earlier probe that appeared to
+    succeed had silently degenerated to a 1-device TPU mesh). The test
+    SKIPS on that error so the day the thunk lands, the golden checks below
+    run automatically and the emulation note can retire."""
+    mesh = make_mesh(8)
+    n = 4096
+    keys = rng.integers(0, 2**16, size=n, dtype=np.uint32)
+    values = np.arange(n, dtype=np.uint32)
+    try:
+        gk, gv = exchange_sort(
+            sharded(mesh, "x", jnp.asarray(keys)),
+            sharded(mesh, "x", jnp.asarray(values)),
+            mesh=mesh, use_ragged_a2a=True,
+        )
+        np.asarray(gk)
+    except Exception as e:
+        if "ragged-all-to-all" in str(e) or "UNIMPLEMENTED" in str(e):
+            pytest.skip(f"real ragged_all_to_all unavailable on XLA:CPU: "
+                        f"{type(e).__name__}")
+        raise
+    rk, rv = golden_sort(keys, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+    # skewed (sorted) input drives the contiguous-fallback offsets through
+    # the real collective too
+    srt = np.sort(keys)
+    gk = exchange_sort(sharded(mesh, "x", jnp.asarray(srt)), mesh=mesh,
+                       use_ragged_a2a=True)
+    np.testing.assert_array_equal(np.asarray(gk), golden_sort(srt))

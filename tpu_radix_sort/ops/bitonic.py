@@ -524,6 +524,69 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
     return tuple(a.reshape(n) for a in x)
 
 
+def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None):
+    """Complete a bitonic sort whose rounds k <= `run` are already done.
+
+    Input: pow2-length u32 arrays (same contract as :func:`sort_padded`)
+    consisting of n/run runs of `run` elements, each sorted by
+    (arrs[0][, arrs[1]]) in the alternating directions of a bitonic sort
+    after round k=run — run j ascending iff j is even. Runs the remaining
+    merge rounds k = 2*run .. n: log2(n/run) rounds instead of the full
+    O(log^2 n) network. This is the D-way merge used by the distributed
+    exchange's phase 4 (D received sorted chunks in slots; see
+    ``parallel/radix_exchange.py``): with run == n/2 it coincides with
+    :func:`merge_padded` on [A ascending ++ B descending].
+    """
+    if interpret is None:
+        interpret = common.default_interpret()
+    n = arrs[0].shape[0]
+    assert n >= LANES and (n & (n - 1)) == 0, f"padded length must be pow2 >= 128, got {n}"
+    assert run >= 1 and (run & (run - 1)) == 0 and n % run == 0, (
+        f"run must be a pow2 dividing n, got {run} / {n}"
+    )
+    if run >= n:
+        return tuple(arrs)
+    rows = n // LANES
+    if block_rows is None:
+        from ..utils import dispatch
+
+        block_rows = min(
+            DEFAULT_BLOCK_ROWS, dispatch.choose_block_rows(n, len(arrs))
+        )
+    tile_rows = min(rows, block_rows)
+    T = tile_rows * LANES
+
+    x = tuple(a.reshape(rows, LANES) for a in arrs)
+
+    def run_contig(x, stages, dyn_k=None):
+        return _run_network(
+            x, stable, stages,
+            grid=(rows // tile_rows,),
+            block_shape=(tile_rows, LANES),
+            index_map=lambda i: (i, 0),
+            base_scale=T,
+            kernel_rows=tile_rows,
+            block_elems=T,
+            interpret=interpret,
+            dyn_k=dyn_k,
+        )
+
+    # rounds k <= T are intra-tile (max stride k/2 < T, segments align within
+    # tiles): run them as static stages in one chunked call, exactly like
+    # sort_padded's phase 1 — the dyn-k path needs k >= the block span.
+    k = 2 * run
+    if k <= T:
+        x = run_contig(x, _block_stages(k, T))
+        k = 2 * T
+    while k <= n:
+        x = _merge_round(
+            x, k, n=n, rows=rows, tile_rows=tile_rows, T=T,
+            stable=stable, run_contig=run_contig, interpret=interpret,
+        )
+        k *= 2
+    return tuple(a.reshape(n) for a in x)
+
+
 def _halving(j):
     out = []
     while j >= 1:

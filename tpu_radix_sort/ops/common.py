@@ -56,7 +56,11 @@ def default_interpret_for_mesh(mesh) -> bool:
     if env is not None:
         return env == "1"
     try:
-        if all(d.platform == "cpu" for d in mesh.devices.flat):
+        # ANY CPU device forces interpret: a mixed cpu/tpu mesh cannot run
+        # compiled Mosaic kernels on its CPU members, and this predicate must
+        # stay the complement of the exchange layer's use_ragged_a2a default
+        # (any CPU => emulation + interpret together).
+        if any(d.platform == "cpu" for d in mesh.devices.flat):
             return True
     except Exception:  # pragma: no cover - exotic mesh objects
         pass

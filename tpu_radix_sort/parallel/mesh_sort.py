@@ -151,6 +151,7 @@ def mesh_sort(
     axis_name: str = "x",
     count=None,
     bit_count: int = 32,
+    check_order: bool = False,
     total_order: bool = False,
     descending: bool = False,
     block_rows=None,
@@ -163,6 +164,13 @@ def mesh_sort(
     the reference's option surface): first `count` elements sorted, suffix
     untouched, `bit_count` low bits ordered, stable, optional stable
     `descending` (ascending sort of the flipped masked key).
+
+    ``check_order=True`` lifts the reference's early exit
+    (`src/shaders/CheckSort.ts:139-145`) to the mesh: per-shard fast-gated
+    checks + boundary pairs combine in one psum, and a globally-sorted
+    input skips the whole compare-split network (see ``parallel/check.py``).
+    The passthrough is byte-exact because a sorted input is a fixed point
+    of the stable sort.
 
     `keys`/`values` are global 1-D arrays; shard them along `axis_name`
     (``NamedSharding(mesh, P(axis_name))``) for the exchange to ride ICI.
@@ -237,7 +245,18 @@ def mesh_sort(
         # Pallas calls inside the shard body don't carry vma annotations yet.
         check_vma=False,
     )
-    out = fn(tuple(arrs))
+    if check_order:
+        from . import check
+
+        ok = check.global_is_sorted(
+            mk, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
+            interpret=interpret,
+        )
+        out = jax.lax.cond(
+            ok, lambda: tuple(arrs), lambda: fn(tuple(arrs))
+        )
+    else:
+        out = fn(tuple(arrs))
 
     carry_full = masked or descending
     u_sorted = out[2] if carry_full else out[0]

@@ -115,7 +115,7 @@ def _select_boundaries(sk, si, targets, axis_name):
 
 
 def ragged_all_to_all_emulated(
-    a, starts, sizes, out_offsets, *, axis_name, n_dev
+    a, out_buf, starts, sizes, out_offsets, *, axis_name, n_dev
 ):
     """Emulation of `jax.lax.ragged_all_to_all` for backends without the
     collective (XLA:CPU has no ragged-all-to-all thunk — verified on
@@ -124,10 +124,11 @@ def ragged_all_to_all_emulated(
     Operational semantics pinned by `tests/test_radix_exchange.py::
     test_emulation_matches_ragged_all_to_all_semantics`: shard s sends
     `a[starts[s, d] : starts[s, d] + sizes[s, d]]` to shard d, where it
-    lands at `out_offsets[s, d]` in d's output buffer; `starts` /
-    `out_offsets` here are the ALL-GATHERED (D, D) matrices of every
-    shard's per-destination metadata (the real collective takes each
-    shard's own row and exchanges it implicitly).
+    lands at `out_offsets[s, d]` in d's copy of `out_buf` (positions not
+    written by any chunk keep `out_buf`'s value, like the real collective's
+    output operand); `starts` / `out_offsets` here are the ALL-GATHERED
+    (D, D) matrices of every shard's per-destination metadata (the real
+    collective takes each shard's own row and exchanges it implicitly).
 
     Mechanism: all_gather the data, then each shard assembles its received
     chunks with static-shape clipped-gather + masked select (no dynamic
@@ -135,9 +136,9 @@ def ragged_all_to_all_emulated(
     """
     me = jax.lax.axis_index(axis_name)
     L = a.shape[0]
-    pos = jnp.arange(L, dtype=jnp.int32)
+    pos = jnp.arange(out_buf.shape[0], dtype=jnp.int32)
     full = jax.lax.all_gather(a, axis_name)  # (D, L)
-    buf = jnp.zeros((L,), a.dtype)
+    buf = out_buf
     for s in range(n_dev):
         off = out_offsets[s, me]
         sz = sizes[s, me]
@@ -182,12 +183,32 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
     # size matrix: sizes[s, d] = what shard s sends to shard d
     sizes = jax.lax.all_gather(send_sizes, axis_name)  # (D, D)
     recv_sizes = sizes[:, me]
-    # my chunk to d lands after the chunks of lower-ranked shards
-    csum = jnp.cumsum(sizes, axis=0)
-    before_me = csum - sizes  # exclusive over source shards
-    out_offsets = jnp.take_along_axis(
-        before_me, jnp.broadcast_to(me, (1, n_dev)), axis=0
+
+    # Delivery layout (phase 4 = D-way merge, round-2 VERDICT item 2):
+    # each source's chunk lands in its own pow2 slot of S = 2L/Dp elements
+    # (source s at offset s*S), the buffer pre-filled with identical
+    # sentinel tuples. The received state — Dp sorted runs in slots — then
+    # needs only the log2(Dp) bitonic merge rounds k = 2S..Dp*S
+    # (`bitonic.merge_tree_padded`) instead of a full O(log^2 L) re-sort.
+    # Under heavy skew a chunk can exceed its slot (e.g. already-sorted
+    # input sends one full-L chunk); then every shard agrees (the size
+    # matrix is all-gathered) to fall back to the contiguous layout + full
+    # re-sort of the round-1 design.
+    n_pow2 = 1 << (n_dev - 1).bit_length()
+    slot = max(LANES, (2 * L) // n_pow2)
+    buf_len = max(n_pow2 * slot, L)
+    fits = jnp.max(sizes) <= slot
+
+    contig_csum = jnp.cumsum(sizes, axis=0)
+    contig_before = contig_csum - sizes  # exclusive over source shards
+    my_contig = jnp.take_along_axis(
+        contig_before, jnp.broadcast_to(me, (1, n_dev)), axis=0
     )[0].astype(jnp.int32)
+    # slotted: my chunk to every destination lands at my slot, offset me*S
+    my_slotted = jnp.full((n_dev,), me * slot, jnp.int32)
+    out_offsets = jnp.where(fits, my_slotted, my_contig)
+
+    sentinel_fill = [common.SENTINEL_U32] * len(arrs)
 
     out = []
     if not use_ragged_a2a:
@@ -195,16 +216,17 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
         # pinned emulation, see ragged_all_to_all_emulated
         starts_g = jax.lax.all_gather(starts, axis_name)  # (D, D)
         offs_g = jax.lax.all_gather(out_offsets, axis_name)  # (D, D)
-        for a in arrs:
+        for a, fill in zip(arrs, sentinel_fill):
+            buf = jnp.full((buf_len,), fill, a.dtype)
             out.append(
                 ragged_all_to_all_emulated(
-                    a, starts_g, sizes, offs_g,
+                    a, buf, starts_g, sizes, offs_g,
                     axis_name=axis_name, n_dev=n_dev,
                 )
             )
     else:
-        for a in arrs:
-            buf = jnp.zeros((L,), a.dtype)
+        for a, fill in zip(arrs, sentinel_fill):
+            buf = jnp.full((buf_len,), fill, a.dtype)
             out.append(
                 jax.lax.ragged_all_to_all(
                     a,
@@ -216,10 +238,32 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
                     axis_name=axis_name,
                 )
             )
-    # received: D sorted chunks concatenated -> local re-sort
-    return bitonic.sort_padded(
-        tuple(out), stable=True, block_rows=block_rows, interpret=interpret
-    )
+
+    def merge_branch(bufs):
+        # runs must alternate ascending/descending (the state of a bitonic
+        # sort after round k=slot): reverse the odd slots
+        rev = []
+        for a in bufs:
+            a2 = a[: n_pow2 * slot].reshape(n_pow2, slot)
+            odd = (jnp.arange(n_pow2, dtype=jnp.int32) % 2 == 1)[:, None]
+            rev.append(
+                jnp.where(odd, a2[:, ::-1], a2).reshape(n_pow2 * slot)
+            )
+        merged = bitonic.merge_tree_padded(
+            tuple(rev), run=slot, stable=True, block_rows=block_rows,
+            interpret=interpret,
+        )
+        # reals sort before the identical sentinel pad tuples: first L
+        return tuple(m[:L] for m in merged)
+
+    def sort_branch(bufs):
+        # contiguous layout: D sorted chunks concatenated in [:L]
+        return bitonic.sort_padded(
+            tuple(b[:L] for b in bufs), stable=True, block_rows=block_rows,
+            interpret=interpret,
+        )
+
+    return jax.lax.cond(fits, merge_branch, sort_branch, tuple(out))
 
 
 def exchange_sort(
@@ -230,6 +274,7 @@ def exchange_sort(
     axis_name: str = "x",
     count=None,
     bit_count: int = 32,
+    check_order: bool = False,
     total_order: bool = False,
     descending: bool = False,
     block_rows=None,
@@ -242,6 +287,10 @@ def exchange_sort(
     suffix untouched, low `bit_count` bits ordered, stable; `descending`
     via the flipped-masked-key trick like the single-chip path). One data
     exchange; exactly balanced under any key distribution.
+
+    ``check_order=True``: distributed early-exit gate (psum of per-shard
+    fast-gated checks + boundary-pair ppermute, `parallel/check.py`); a
+    globally-sorted input skips the local sorts AND the exchange.
 
     `use_ragged_a2a` picks the exchange transport independently of the
     Pallas `interpret` choice: True = `jax.lax.ragged_all_to_all` (TPU),
@@ -264,8 +313,11 @@ def exchange_sort(
     if interpret is None:
         interpret = common.default_interpret_for_mesh(mesh)
     if use_ragged_a2a is None:
-        use_ragged_a2a = all(
-            d.platform != "cpu" for d in mesh.devices.flat
+        # same predicate as default_interpret_for_mesh (any CPU device =>
+        # emulation), so a mixed cpu/tpu mesh never silently pairs the real
+        # ragged collective (which XLA:CPU cannot run) with interpret kernels
+        use_ragged_a2a = not any(
+            d.platform == "cpu" for d in mesh.devices.flat
         )
     n_dev = mesh.shape[axis_name]
 
@@ -309,7 +361,18 @@ def exchange_sort(
         out_specs=tuple(P(axis_name) for _ in arrs),
         check_vma=False,
     )
-    out = fn(tuple(arrs))
+    if check_order:
+        from . import check
+
+        ok = check.global_is_sorted(
+            mk, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
+            interpret=interpret,
+        )
+        out = jax.lax.cond(
+            ok, lambda: tuple(arrs), lambda: fn(tuple(arrs))
+        )
+    else:
+        out = fn(tuple(arrs))
 
     u_sorted = (out[2] if carry_full else out[0])[:count]
     if total_order:
