@@ -24,6 +24,8 @@ _n_req = 8
 for _i, _a in enumerate(sys.argv):
     if _a == "--devices" and _i + 1 < len(sys.argv):
         _n_req = int(sys.argv[_i + 1])
+    elif _a.startswith("--devices="):  # argparse also accepts this form
+        _n_req = int(_a.split("=", 1)[1])
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

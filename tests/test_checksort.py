@@ -79,3 +79,20 @@ def test_disorder_count_pallas_path(rng):
         expect = int(np.sum(u[:-1] > u[1:]))
         assert int(checksort.disorder_count(jnp.asarray(u))) == expect
         assert int(checksort.disorder_count(jnp.asarray(np.sort(u)))) == 0
+
+
+def test_disorder_count_pallas_arbitrary_n(rng):
+    """Non-block-multiple sizes take the Pallas path via sentinel padding
+    (round-2 VERDICT: `is_sorted(u, count=16_000_001)` must not silently fall
+    back to the XLA pass); parity with the plain XLA reduction is exact."""
+    base = checksort.PALLAS_MIN_ELEMENTS
+    for n in (base + 1, base + 4096, base + base // 2):
+        u = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        expect = int(np.sum(u[:-1] > u[1:]))
+        assert int(checksort.disorder_count(jnp.asarray(u))) == expect, n
+        s = np.sort(u)
+        assert int(checksort.disorder_count(jnp.asarray(s))) == 0, n
+        # max-valued real elements at the tail must not collide with the pad
+        s[-5:] = 0xFFFFFFFF
+        assert int(checksort.disorder_count(jnp.asarray(s))) == 0, n
+        assert bool(checksort.is_sorted(jnp.asarray(s))), n

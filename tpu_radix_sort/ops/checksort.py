@@ -125,12 +125,19 @@ def disorder_count(
         return jnp.uint32(0)
     if interpret is None:
         interpret = common.default_interpret()
-    if n >= PALLAS_MIN_ELEMENTS and n % (BLOCK_ROWS * LANES) == 0:
+    if n >= PALLAS_MIN_ELEMENTS:
+        # Arbitrary n: pad to a whole number of kernel blocks with max-valued
+        # sentinels — the last real element <= SENTINEL and the pads are all
+        # equal, so padding creates no new inversions and the count is exact.
+        n_pad = common.round_up(n, BLOCK_ROWS * LANES)
+        u = common.pad_to(u, n_pad, common.SENTINEL_U32)
         return _disorder_pallas(u.reshape(-1, LANES), interpret=interpret)
     return jnp.sum((u[:-1] > u[1:]).astype(jnp.uint32))
 
 
-def is_sorted(u: jax.Array, *, count=None, bit_count: int = 32) -> jax.Array:
+def is_sorted(
+    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None
+) -> jax.Array:
     """Fast-gated full order check, mirroring the reference's two-phase check.
 
     The fast phase samples the first FAST_CHECK_ELEMENTS keys; only if that
@@ -150,23 +157,27 @@ def is_sorted(u: jax.Array, *, count=None, bit_count: int = 32) -> jax.Array:
         u = u[:count]
     n = u.shape[0]
     f = min(n, FAST_CHECK_ELEMENTS)
-    fast_ok = disorder_count(u[:f]) == 0
+    fast_ok = disorder_count(u[:f], interpret=interpret) == 0
     if f >= n:
         return fast_ok
     # include the boundary pair by starting at f - 1
     return jax.lax.cond(
         fast_ok,
-        lambda: disorder_count(jax.lax.slice(u, (f - 1,), (n,))) == 0,
+        lambda: disorder_count(
+            jax.lax.slice(u, (f - 1,), (n,)), interpret=interpret
+        )
+        == 0,
         lambda: jnp.bool_(False),
     )
 
 
-def with_early_exit(u_sorted_check: jax.Array, passthrough, compute_fn):
+def with_early_exit(u_sorted_check: jax.Array, passthrough, compute_fn,
+                    interpret=None):
     """Return passthrough unchanged if already sorted, else compute_fn().
 
     `passthrough` and `compute_fn()` must be pytrees of identical structure.
     This is the `lax.cond` analogue of the reference zeroing every dispatch
     record when `is_sorted == 1` (src/shaders/CheckSort.ts:139-145).
     """
-    ok = is_sorted(u_sorted_check)
+    ok = is_sorted(u_sorted_check, interpret=interpret)
     return jax.lax.cond(ok, lambda: passthrough, compute_fn)

@@ -288,6 +288,11 @@ def sort_u32(mkeys, payloads=(), *, bit_count=32, block_rows=None,
     n = mkeys.shape[0]
     block_rows = block_rows or DEFAULT_BLOCK_ROWS
     rows = common.round_up(max(n, 1), block_rows * LANES) // LANES
+    # reorder-pass scalar offsets ride i32 SMEM words; make the (far-off)
+    # representability ceiling explicit instead of silently wrapping
+    assert rows * LANES < 2**31, (
+        f"radix engine supports < 2^31 elements, got {rows * LANES} padded"
+    )
     arrs = [common.pad_to(mkeys, rows * LANES, common.SENTINEL_U32)]
     arrs += [common.pad_to(p, rows * LANES, jnp.uint32(0)) for p in payloads]
     arrs = tuple(a.reshape(rows, LANES) for a in arrs)
@@ -316,7 +321,7 @@ def sort_u32(mkeys, payloads=(), *, bit_count=32, block_rows=None,
         # (pad keys are all-ones: last digit run, stable order), so the
         # check can run over the padded working keys directly.
         def check_now(arrs):
-            return checksort.is_sorted(arrs[0].reshape(-1))
+            return checksort.is_sorted(arrs[0].reshape(-1), interpret=interpret)
 
         def cond(carry):
             _, i, done, _ = carry

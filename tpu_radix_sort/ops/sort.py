@@ -334,7 +334,9 @@ def _sort_jit(
             passthrough.append(
                 jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
             )
-        result = checksort.with_early_exit(mkeys, tuple(passthrough), do_sort)
+        result = checksort.with_early_exit(
+            mkeys, tuple(passthrough), do_sort, interpret=interpret
+        )
     else:
         result = do_sort()
 
