@@ -146,24 +146,44 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
     idx = rid * LANES + cid
     n_local = rows * LANES
 
+    # Packed pair cumsums: digits (0,1) share one log-shift cumsum via
+    # 16-bit fields of a u32 (digit r at bit 0, r+1 at bit 16), halving the
+    # cumsum count per pass. A field can only reach 2^16 when ALL n_local
+    # (<= 2^16) elements carry that digit; the carry then lands at the very
+    # last cell, whose corrupted deficit has only bit 16 set — above the
+    # shift loop's log2(n_local) rounds, so it moves nothing (the true
+    # deficit there is 0). Exact run lengths come from `cnts` (independent
+    # i32 reductions), never from the possibly-wrapped packed field.
+    digi = dig.astype(jnp.int32)
+    packed = []
+    for lo in range(0, R, 2):
+        p = (digi == lo).astype(jnp.uint32) + (
+            (digi == lo + 1).astype(jnp.uint32) << jnp.uint32(16)
+        )
+        packed.append(_cumsum_mask(p, rows))
+    cnts = [
+        jnp.sum((digi == r).astype(jnp.int32)).astype(jnp.uint32)
+        for r in range(R)
+    ]
+
     data0 = tuple(rf[:] for rf in ins)
     for r in range(R):
-        mask = dig == r
-        mask_u = mask.astype(jnp.uint32)
-        inc = _cumsum_mask(mask_u, rows)
-        cnt = inc[rows - 1, LANES - 1]
+        mask_u = (digi == r).astype(jnp.uint32)
+        inc = (packed[r // 2] >> jnp.uint32(16 * (r % 2))) & jnp.uint32(0xFFFF)
+        cnt = cnts[r]
         # deficit: how far left each kept element must travel (= non-r
         # elements before it). LSB-first shifting by its bits is
-        # collision-free (DESIGN.md).
-        deficit = (jnp.asarray(idx, jnp.uint32) - (inc - mask_u)) * mask_u
-        # masks stay u32 0/1: Mosaic cannot roll i1 vectors
-        kept_u = mask_u
-        d = deficit
+        # collision-free (DESIGN.md). Nonzero ONLY at cells holding a kept
+        # element that still has to move: the deficit doubles as the
+        # occupancy state, so the shift loop needs no separate kept/arrived
+        # masks — `t = shl(d * mv)` is nonzero exactly at landing cells
+        # (a mover's bit log_s is set, so its carried d >= s > 0).
+        d = (jnp.asarray(idx, jnp.uint32) - (inc - mask_u)) * mask_u
         data = data0
         s = 1
         log_s = 0
         while s < n_local:
-            mv_u = kept_u * ((d >> jnp.uint32(log_s)) & jnp.uint32(1))
+            mv_u = (d >> jnp.uint32(log_s)) & jnp.uint32(1)
 
             if s >= LANES:
                 # whole-row shift: no lane boundary crossing
@@ -178,11 +198,12 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
                     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
                     return jnp.where(lane < LANES - _s, r1, r2)
 
-            arrived_u = shl(mv_u)
-            arrived = arrived_u == 1
+            t = shl(d * mv_u)  # deficit rides the move; 1 roll, no mask roll
+            arrived = t != 0
             data = tuple(jnp.where(arrived, shl(a), a) for a in data)
-            d = jnp.where(arrived, shl(d), d)
-            kept_u = arrived_u | (kept_u & (jnp.uint32(1) - mv_u))
+            # landings take the carried deficit; vacated cells zero out so
+            # their stale high bits can't trigger ghost moves later
+            d = jnp.where(arrived, t, d * (jnp.uint32(1) - mv_u))
             s *= 2
             log_s += 1
         # runs now left-packed in `data`[:cnt]; window read-merge-write
