@@ -46,6 +46,21 @@ def test_prefix_sum_multiblock(rng):
     assert np.array_equal(out, golden_prefix_sum(x))
 
 
+@pytest.mark.parametrize("block_rows", [2, 8, 32, 256, 1024])
+def test_prefix_sum_block_rows_sweep(rng, block_rows):
+    """Tile-shape sweep for the scan — the reference sweeps workgroup sizes
+    for its PrefixSumKernel too (`example/tests.ts:117-126`); the output
+    must be invariant to the tiling knob. Sizes hit exact-multiple,
+    sub-tile, and ragged-tail cases per block size."""
+    for n in (257, 4096, 33000):
+        x = rng.integers(0, 8, n).astype(np.uint32)
+        out = np.asarray(trs.prefix_sum(jnp.asarray(x), block_rows=block_rows))
+        assert np.array_equal(out, golden_prefix_sum(x)), (block_rows, n)
+        kern = trs.PrefixSumKernel(count=n, block_rows=block_rows)
+        assert np.array_equal(np.asarray(kern.dispatch(jnp.asarray(x))),
+                              golden_prefix_sum(x)), (block_rows, n)
+
+
 def test_prefix_sum_kernel_class(rng):
     x = rng.integers(0, 8, 5000).astype(np.uint32)
     kern = trs.PrefixSumKernel(count=5000)
