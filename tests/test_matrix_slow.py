@@ -130,8 +130,14 @@ def test_radix_breadth_sweep_through_kernel_class():
         bit_count = int(rng.choice([4, 8, 16, 32]))
         check_order = rng.random() < 0.3
         with_values = rng.random() < 0.5
-        block_rows = int(rng.choice([8, 16]))
+        # full tiling axis incl. oversized blocks (> 2^16 elements/block
+        # once padded) — the packed-cumsum overflow regression surface;
+        # digit-skewed draws make a single digit run exceed 2^16 there
+        block_rows = int(rng.choice([8, 16, 64, 256, 512, 1024]))
+        digit_skew = rng.random() < 0.3
         k = _draw_keys(rng, n, "uint32")
+        if digit_skew:
+            k = (k & np.uint32(3)).astype(np.uint32)
         kern = trs.RadixSortKernel(
             count=count, has_values=with_values, bit_count=bit_count,
             check_order=check_order, method="radix", block_rows=block_rows,

@@ -128,6 +128,35 @@ def test_radix_check_order_through_public_api(rng):
     np.testing.assert_array_equal(np.asarray(gk2), ks)
 
 
+def test_large_block_digit_skew_no_overflow(rng):
+    """Regression (round-3 advisor, high): with block_rows=1024 a reorder
+    block holds 131072 > 2^16 elements, so the packed 16-bit pair cumsums
+    wrap mid-tile and silently corrupt deficits. Blocks past 2^16 elements
+    must take the full-u32 cumsum path (`radix.py _reorder_kernel`)."""
+    n = 131072
+    k = (np.arange(n, dtype=np.uint32) % 4).astype(np.uint32)  # digit-skewed
+    out, _ = radix.sort_u32(jnp.asarray(k), bit_count=4, block_rows=1024)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(k))
+    # stability across the oversized block, with payload
+    v = np.arange(n, dtype=np.uint32)
+    k2 = rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+    ok, (ov,) = radix.sort_u32(jnp.asarray(k2), (jnp.asarray(v),),
+                               bit_count=4, block_rows=1024)
+    order = np.argsort(k2, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k2[order])
+    np.testing.assert_array_equal(np.asarray(ov), v[order])
+
+
+def test_packed_cumsum_wrap_edge_all_equal():
+    """Boundary of the packed path: block_rows=512 puts exactly 2^16
+    elements in a block; all-equal keys drive one 16-bit field to 2^16
+    (the wrap edge argued safe in `radix.py _reorder_kernel`)."""
+    for digit in (0, 1, 2, 3):
+        k = jnp.full((65536,), digit, jnp.uint32)
+        out, _ = radix.sort_u32(k, bit_count=4, block_rows=512)
+        assert (np.asarray(out) == digit).all()
+
+
 def test_radix_sort_float32(rng):
     f = (rng.random(3000, dtype=np.float32) * 50).astype(np.float32)
     got = trs.sort(jnp.asarray(f), method="radix", bit_count=16, block_rows=16)

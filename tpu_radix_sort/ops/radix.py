@@ -148,19 +148,37 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
 
     # Packed pair cumsums: digits (0,1) share one log-shift cumsum via
     # 16-bit fields of a u32 (digit r at bit 0, r+1 at bit 16), halving the
-    # cumsum count per pass. A field can only reach 2^16 when ALL n_local
-    # (<= 2^16) elements carry that digit; the carry then lands at the very
-    # last cell, whose corrupted deficit has only bit 16 set — above the
-    # shift loop's log2(n_local) rounds, so it moves nothing (the true
-    # deficit there is 0). Exact run lengths come from `cnts` (independent
-    # i32 reductions), never from the possibly-wrapped packed field.
+    # cumsum count per pass. Sound ONLY while n_local <= 2^16: a field can
+    # then reach 2^16 only when ALL elements carry that digit; the carry
+    # lands at the very last cell, whose corrupted deficit has only bit 16
+    # set — above the shift loop's log2(n_local) rounds, so it moves nothing
+    # (the true deficit there is 0). Exact run lengths come from `cnts`
+    # (independent i32 reductions), never from the possibly-wrapped field.
+    # For larger blocks (block_rows > 512) a digit run can exceed 2^16
+    # mid-tile and the packing silently corrupts deficits, so those blocks
+    # take full-width u32 per-digit cumsums instead (2x cumsum work, still
+    # byte-exact — the tiling invariant beats the micro-optimization).
     digi = dig.astype(jnp.int32)
-    packed = []
-    for lo in range(0, R, 2):
-        p = (digi == lo).astype(jnp.uint32) + (
-            (digi == lo + 1).astype(jnp.uint32) << jnp.uint32(16)
-        )
-        packed.append(_cumsum_mask(p, rows))
+    if n_local <= 1 << 16:
+        packed = []
+        for lo in range(0, R, 2):
+            p = (digi == lo).astype(jnp.uint32) + (
+                (digi == lo + 1).astype(jnp.uint32) << jnp.uint32(16)
+            )
+            packed.append(_cumsum_mask(p, rows))
+
+        def digit_inc(r):
+            return (
+                packed[r // 2] >> jnp.uint32(16 * (r % 2))
+            ) & jnp.uint32(0xFFFF)
+    else:
+        full = [
+            _cumsum_mask((digi == r).astype(jnp.uint32), rows)
+            for r in range(R)
+        ]
+
+        def digit_inc(r):
+            return full[r]
     cnts = [
         jnp.sum((digi == r).astype(jnp.int32)).astype(jnp.uint32)
         for r in range(R)
@@ -169,7 +187,7 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
     data0 = tuple(rf[:] for rf in ins)
     for r in range(R):
         mask_u = (digi == r).astype(jnp.uint32)
-        inc = (packed[r // 2] >> jnp.uint32(16 * (r % 2))) & jnp.uint32(0xFFFF)
+        inc = digit_inc(r)
         cnt = cnts[r]
         # deficit: how far left each kept element must travel (= non-r
         # elements before it). LSB-first shifting by its bits is
