@@ -7,10 +7,10 @@ experiment for the TPU build: the default engine vs the native C++ LSD radix
 sorter (`runtime/native/sort.cc`, the strongest host baseline here — it
 beats NumPy's stable sort several-fold) across element-count decades.
 
-TPU timing uses the slope method with size-scaled chain lengths (a 60 us op
-needs hundreds of chained iterations to climb out of the ~25-30 ms fetch
-noise of the tunneled device — CLAUDE.md); CPU timing is plain perf_counter
-medians (no tunnel in that path).
+TPU timing uses the slope method; chain lengths auto-escalate inside
+`device_time` (a 60 us op needs hundreds of chained iterations to climb out
+of the ~25-30 ms fetch noise of the tunneled device — CLAUDE.md). CPU timing
+is plain perf_counter medians (no tunnel in that path).
 
 Run on the real chip: python benchmarks/crossover.py
 """
@@ -29,17 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tpu_radix_sort as trs
 from tpu_radix_sort.runtime import device_time
 from tpu_radix_sort.runtime.cpu_baseline import cpu_sort, native_available
-
-
-def chain_lengths(n):
-    """Longer chains for smaller (faster) ops, per CLAUDE.md's noise rule."""
-    if n <= 1 << 14:
-        return 40, 440
-    if n <= 1 << 18:
-        return 20, 220
-    if n <= 1 << 22:
-        return 5, 55
-    return 2, 12
 
 
 def cpu_time(fn, reps=5):
@@ -61,12 +50,11 @@ def main():
         keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
         vals = np.arange(n, dtype=np.uint32)
         kj, vj = jnp.asarray(keys), jnp.asarray(vals)
-        k_lo, k_hi = chain_lengths(n)
 
-        t_tpu_k = device_time(lambda a: trs.sort(a), kj, k_lo=k_lo, k_hi=k_hi)
+        t_tpu_k = device_time(lambda a: trs.sort(a), kj)
         t_tpu_kv = device_time(
             lambda kv: tuple(trs.sort(kv[0], kv[1], values_are_ranks=True)),
-            (kj, vj), k_lo=k_lo, k_hi=k_hi)
+            (kj, vj))
         t_cpu_k = cpu_time(lambda: cpu_sort(keys))
         t_cpu_kv = cpu_time(lambda: cpu_sort(keys, vals))
 

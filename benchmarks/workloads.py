@@ -29,10 +29,10 @@ def bench(name, fn, x, n, check=None):
     else:
         np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         ok = True
+    # few-ms ops auto-escalate to a longer chain inside device_time
+    # (runtime/timing.py): the fixed ~25-30 ms host-sync cost would swamp
+    # a 2-iteration delta
     t = device_time(f, x, k_lo=1, k_hi=3)
-    if t < 5e-3:  # few-ms ops need a longer chain for a clean slope: the
-        # fixed ~25-30 ms host-sync cost swamps a 2-iteration delta
-        t = device_time(f, x, k_lo=20, k_hi=220)
     print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
           flush=True)
 

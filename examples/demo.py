@@ -42,7 +42,10 @@ def main():
     p.add_argument("--check-order", action="store_true",
                    help="enable the order-check early exit")
     p.add_argument("--consecutive", type=int, default=1,
-                   help="number of consecutive sorts to average (1..20)")
+                   help="number of consecutive sorts, each re-sorting the "
+                        "previous frame's output (the reference's "
+                        "consecutive mode, example/index.ts:169-175): with "
+                        "--check-order, frames 2+ hit the early exit")
     p.add_argument("--method", default="auto",
                    choices=["auto", "bitonic", "radix", "xla"])
     p.add_argument("--block-rows", type=int, default=None,
@@ -57,6 +60,10 @@ def main():
     args = p.parse_args()
     if args.packed and args.values:
         p.error("--packed implies key+value records; drop --values")
+    if args.ranks and args.consecutive > 1:
+        p.error("--ranks with --consecutive > 1: frames 2+ feed the sorted "
+                "permutation back as values, which violates the "
+                "strictly-increasing rank promise")
 
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)
@@ -112,7 +119,18 @@ def main():
     else:
         step = lambda k: kern.dispatch(k)
         x = keys
-    t_dev = device_time(step, x, k_lo=1, k_hi=1 + max(2, args.consecutive))
+    t_dev = device_time(step, x, k_lo=1, k_hi=3)
+
+    # consecutive-sorts mode (reference example/index.ts:169-175): every
+    # frame after the first re-sorts the PREVIOUS frame's output, i.e. an
+    # already-sorted buffer — with --check-order the per-frame cost
+    # collapses to the early-exit gate from frame 2 on. Frame 1 costs
+    # t_dev; frames 2+ all see identical (sorted) input, so one more
+    # slope measurement on the fed-back state prices every later frame.
+    t_rest = None
+    if args.consecutive > 1:
+        fed = step(x)  # frame-1 output == frames-2+ input
+        t_rest = device_time(step, fed, k_lo=1, k_hi=3)
 
     # CPU baseline (reference compares against Array.prototype.sort,
     # example/index.ts:147-151; ours is the native C++ radix sort)
@@ -127,7 +145,18 @@ def main():
         "key+value" if args.values else "keys-only")
     print(f"\n  n={args.n:,}  {kind}  bit_count={args.bit_count}"
           f"  check_order={args.check_order}  method={args.method}")
-    print(f"  TPU:  {t_dev*1e3:9.3f} ms   {args.n/t_dev/1e9:7.3f} Gkeys/s")
+    if t_rest is not None:
+        for fr in range(1, args.consecutive + 1):
+            t_fr = t_dev if fr == 1 else t_rest
+            note = "" if fr == 1 else "  (re-sorts previous output)"
+            print(f"  frame {fr:2d}: {t_fr*1e3:9.3f} ms   "
+                  f"{args.n/t_fr/1e9:7.3f} Gkeys/s{note}")
+        t_avg = (t_dev + (args.consecutive - 1) * t_rest) / args.consecutive
+        print(f"  TPU avg over {args.consecutive} consecutive sorts: "
+              f"{t_avg*1e3:9.3f} ms")
+        t_dev = t_avg
+    else:
+        print(f"  TPU:  {t_dev*1e3:9.3f} ms   {args.n/t_dev/1e9:7.3f} Gkeys/s")
     print(f"  CPU:  {t_cpu*1e3:9.3f} ms   ({'native radix' if native_available() else 'numpy'})")
     print(f"  speedup: {t_cpu/t_dev:.1f}x")
 

@@ -13,10 +13,11 @@ Phases (all inside one `shard_map`, all static-shape):
    distinct, rank boundaries are exact points even under adversarial key
    skew (a Zipf hot bucket or all-equal keys change nothing) — this is the
    "hot-bucket skew handling": balance comes from ranks, not key values.
-   Selection = distributed bisection: 32 rounds over the key domain, then
-   32 rounds over the index domain among key-ties; each round is a local
-   count on the sorted shard (vectorized searchsorted / binary probe) and
-   one tiny `psum`. All D-1 boundaries are found simultaneously.
+   Selection = 2 rounds of 2^16-way multi-probe key bisection (one `psum`
+   each, all D-1 boundaries simultaneously) + a closed-form distribution
+   of key ties over shards from one tiny all_gather — ties need no search
+   because the idx tie-break is the contiguously-sharded global iota, so
+   idx order among ties IS shard order (see `_select_splits`).
 3. **One ragged all-to-all** (`jax.lax.ragged_all_to_all`): shard s sends
    its elements in [B_d, B_{d+1}) to shard d. Send layout is contiguous
    (data is sorted), receive sizes come from an all-gathered D x D size
@@ -25,9 +26,10 @@ Phases (all inside one `shard_map`, all static-shape):
 4. **Local re-sort** of the D received sorted chunks (bitonic; a D-way
    merge is a future optimization).
 
-Communication: one data exchange + 64 scalar-vector collective rounds +
-one (D,D) all_gather — vs compare-split's log2(D)(log2(D)+1)/2 full-data
-exchanges. Compare-split wins at small D; this wins at pod scale.
+Communication: one data exchange + 2 probe-count psums + two small
+all_gathers ((D,2,D-1) tie counts and the (D,D) size matrix) — vs
+compare-split's log2(D)(log2(D)+1)/2 full-data exchanges. Compare-split
+wins at small D; this wins at pod scale.
 """
 from __future__ import annotations
 
@@ -42,76 +44,71 @@ from ..ops import bitonic, common
 LANES = bitonic.LANES
 
 
-def _count_lt_key(sk, probes):
-    """Per-probe count of elements with key < probe (sk ascending)."""
-    return jnp.searchsorted(sk, probes, side="left").astype(jnp.uint32)
+def _probe_log2(n_dev):
+    """Probes-per-round exponent k for the key bisection: 32/k psum rounds
+    of (D-1)*2^k u32 counts each. k=16 (2 rounds) while the payload stays
+    under ~16 MB; k=8 (4 rounds, KB-scale payloads) at pod-scale D."""
+    return 16 if (n_dev - 1) << 16 <= 1 << 22 else 8
 
 
-def _count_le_key(sk, probes):
-    return jnp.searchsorted(sk, probes, side="right").astype(jnp.uint32)
+def _select_splits(sk, targets, *, axis_name, n_dev):
+    """Per-shard local split positions for each global-rank target — exact
+    under any key skew, in O(1) collective rounds.
 
+    sk: this shard's (L,) keys sorted ascending (by (key, idx); the idx
+    tie-break is implicit, see below). targets: (Q,) uint32 global ranks.
+    Returns s_mid (Q,) int32 = how many local elements rank below each
+    boundary; the s_mid sum over shards equals each target exactly, so the
+    received rank ranges tile the array.
 
-def _count_le_idx_in_ties(sk, si, key, probes):
-    """Per-probe count of elements with k == key[q] and idx <= probes[q].
+    Replaces the round-3 64-round (32 key + 32 idx) psum bisection
+    (round-3 VERDICT item 3) with:
 
-    sk/si sorted by (key, idx); key/probes are (Q,) vectors. Binary probe
-    over the tie run of each key (idx ascending within it).
+    1. **Multi-probe key bisection** — ceil(32/k) rounds, each counting
+       2^k equispaced probes per target in one `psum` (vectorized
+       searchsorted locally). k=16 => TWO rounds to pin the exact boundary
+       key K_t (smallest v with global count_le(v) > t).
+    2. **Closed-form tie distribution — ZERO extra selection rounds.**
+       The stability tie-break idx is the contiguous global iota, sharded
+       contiguously by shard_map: every idx on shard s precedes every idx
+       on shard s+1, so among key==K_t ties, global idx order IS shard
+       order. One tiny all_gather of each shard's (count key < K_t,
+       count key == K_t) lets every shard compute its own prefix of the
+       tie run in closed form: take_s = clip(t_ties - ties_before_s, 0, m_s).
+
+    Collective rounds: 2 psums + 1 all_gather (D <= 32; 4+1 at pod scale)
+    vs the old 64 psums + 1 gather — the latency-serial chain this layer's
+    pod-scale pitch depended on.
     """
-    lo = jnp.searchsorted(sk, key, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(sk, key, side="right").astype(jnp.int32)
+    q = targets.shape[0]
+    k = _probe_log2(n_dev)
+    n_rounds = (32 + k - 1) // k
+    j = jnp.arange(1 << k, dtype=jnp.uint32)
 
-    def body(_, lohi):
-        l, h = lohi
-        mid = l + (h - l) // 2
-        mi = si[jnp.clip(mid, 0, si.shape[0] - 1)]
-        le = mi <= probes
-        take = (mid < h) & le
-        l = jnp.where(take, mid + 1, l)
-        h = jnp.where(take, h, mid)
-        return l, h
+    lo = jnp.zeros((q,), jnp.uint32)
+    for r in range(n_rounds):
+        shift = 32 - (r + 1) * k
+        # probes = right edges of the 2^k sub-intervals of [lo, lo + 2^(32-rk))
+        probes = lo[:, None] + (j[None, :] << shift) + jnp.uint32((1 << shift) - 1)
+        c_local = jnp.searchsorted(
+            sk, probes.reshape(-1), side="right"
+        ).astype(jnp.uint32)
+        c = jax.lax.psum(c_local, axis_name).reshape(q, 1 << k)
+        # first sub-interval whose right-edge count exceeds the target
+        # (counts are monotone in j, so "first True" == count of Falses)
+        jstar = jnp.sum((c <= targets[:, None]).astype(jnp.uint32), axis=1)
+        lo = lo + (jstar << shift)
+    K = lo  # exact boundary keys
 
-    steps = max(1, int(si.shape[0]).bit_length())
-    l, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return (l - lo).astype(jnp.uint32)
-
-
-def _bisect_u32(count_gt_target):
-    """Smallest v (u32) with count_gt_target(v) True; count monotone in v."""
-    lo = jnp.zeros_like(count_gt_target(jnp.uint32(0)), jnp.uint32)
-    hi = jnp.full_like(lo, 0xFFFFFFFF)
-
-    def body(_, lohi):
-        l, h = lohi
-        mid = l + (h - l) // jnp.uint32(2)
-        gt = count_gt_target(mid)
-        return jnp.where(gt, l, mid + 1), jnp.where(gt, mid, h)
-
-    l, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    return l
-
-
-def _select_boundaries(sk, si, targets, axis_name):
-    """Exact global-rank boundary pairs (K, I) for each target rank.
-
-    sk/si: local (L,) sorted by (key, idx). targets: (Q,) uint32 global
-    ranks. Returns (K, I) with global count of {(k,i) < (K,I)} == target.
-    """
-    # phase A: K = key of the rank-t element
-    def key_gt(v):
-        c = jax.lax.psum(_count_le_key(sk, v), axis_name)
-        return c > targets
-
-    K = _bisect_u32(key_gt)
-    # phase B: I = idx of the rank-t element among key == K ties
-    c_lt_key = jax.lax.psum(_count_lt_key(sk, K), axis_name)
-    t_ties = targets - c_lt_key
-
-    def idx_gt(v):
-        c = jax.lax.psum(_count_le_idx_in_ties(sk, si, K, v), axis_name)
-        return c > t_ties
-
-    I = _bisect_u32(idx_gt)
-    return K, I
+    a = jnp.searchsorted(sk, K, side="left").astype(jnp.int32)   # key < K
+    m = jnp.searchsorted(sk, K, side="right").astype(jnp.int32) - a  # == K
+    am = jax.lax.all_gather(jnp.stack([a, m]), axis_name)  # (D, 2, Q)
+    t_ties = targets.astype(jnp.int32) - jnp.sum(am[:, 0], axis=0)
+    me = jax.lax.axis_index(axis_name)
+    mine = (jnp.arange(n_dev, dtype=jnp.int32) < me)[:, None]
+    ties_before = jnp.sum(am[:, 1] * mine, axis=0)
+    take = jnp.clip(t_ties - ties_before, 0, m)
+    return a + take
 
 
 def ragged_all_to_all_emulated(
@@ -158,24 +155,12 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
     )
     if n_dev == 1:
         return arrs
-    sk, si = arrs[0], arrs[1]
+    sk = arrs[0]
     L = sk.shape[0]
     me = jax.lax.axis_index(axis_name)
 
     targets = (jnp.arange(1, n_dev, dtype=jnp.uint32)) * jnp.uint32(L)
-    K, I = _select_boundaries(sk, si, targets, axis_name)
-
-    # local split positions: count of (k,i) < (K_d, I_d)
-    s_mid = (
-        jnp.searchsorted(sk, K, side="left").astype(jnp.uint32)
-        + _count_le_idx_in_ties(sk, si, K, I - jnp.uint32(1))
-    ).astype(jnp.int32)
-    # careful: I-1 underflows when I == 0; ties with idx < I
-    s_mid = jnp.where(
-        I == 0,
-        jnp.searchsorted(sk, K, side="left").astype(jnp.int32),
-        s_mid,
-    )
+    s_mid = _select_splits(sk, targets, axis_name=axis_name, n_dev=n_dev)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), s_mid])
     ends = jnp.concatenate([s_mid, jnp.full((1,), L, jnp.int32)])
     send_sizes = ends - starts
