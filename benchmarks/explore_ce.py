@@ -120,6 +120,32 @@ def _kernel(refs, *, n_arr, variant, stable):
                 msk = e | pltpu.roll(e, m % TILE_ROWS, axis=0)
                 new.append(a ^ msk)
             arrs = tuple(new)
+        elif variant == "fold2minmax":
+            # round-3 VERDICT item 6: extend the keys-only XOR-fold win to
+            # the stable 2-array (key, rank) path. Direction is assumed
+            # pre-folded into BOTH arrays (keys AND ranks XOR the round
+            # mask upstream, so tie order flips with the region too);
+            # the key then needs no partner select — min via the fwd roll
+            # at first slots, max via the bwd roll at second slots — and
+            # only the rank pays the lexicographic decision, one tuple
+            # compare per roll direction.
+            y = jax.lax.bitcast_convert_type(arrs[0], jnp.int32)
+            s = arrs[1]
+            yf = pltpu.roll(y, (-m) % TILE_ROWS, axis=0)
+            yb = pltpu.roll(y, m % TILE_ROWS, axis=0)
+            sf = pltpu.roll(s, (-m) % TILE_ROWS, axis=0)
+            sb = pltpu.roll(s, m % TILE_ROWS, axis=0)
+            out_y = jnp.where(
+                first, jnp.minimum(y, yf), jnp.maximum(y, yb)
+            )
+            tl_f = (yf < y) | ((yf == y) & (sf < s))
+            tl_b = (yb < y) | ((yb == y) & (sb < s))
+            out_s = jnp.where(
+                first,
+                jnp.where(tl_f, sf, s),   # first keeps tuple-min
+                jnp.where(tl_b, s, sb),   # second keeps tuple-max
+            )
+            arrs = (jax.lax.bitcast_convert_type(out_y, jnp.uint32), out_s)
         elif variant == "flipminmax":
             x = arrs[0]
             p = _flip_partner(x, m)
@@ -234,6 +260,8 @@ def main():
     bench("baseline roll (2 arr stable)", 2, "roll", stable=True)
     bench("baseline roll (3 arr stable)", 3, "roll", stable=True)
     bench("minmax biased-signed keys-only (1 arr)", 1, "minmax")
+    bench("fold2: minmax key + tuple-cmp rank (2 arr)", 2, "fold2minmax",
+          stable=True)
     bench("xorswap select-free (1 arr)", 1, "xorswap")
     bench("xorswap select-free (2 arr stable)", 2, "xorswap", stable=True)
     bench("xorswap select-free (3 arr stable)", 3, "xorswap", stable=True)

@@ -169,6 +169,26 @@ def main():
           lambda a: trs.sort(a, method="radix"), ke, n,
           check=lambda ls: np.array_equal(
               ls[0], np.full(n, 0x9E3779B9, np.uint32)))
+    del k4, rk4, ke
+
+    # 16M compiled radix golden gate (round-3 VERDICT item 4): at 16M with
+    # the default 512-row blocks, 256 reorder blocks coexist — sequential-
+    # grid window ownership, window-DMA overlaps, and (all-equal row) the
+    # packed-field wrap edge all interact, which no interpret-mode test
+    # reaches. The deficit-shift reorder (ops/radix.py:127-241) is the
+    # subtlest kernel in the repo; this is its at-scale correctness gate.
+    n = 1 << 24
+    k16 = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
+    rk16 = golden_sort(np.asarray(k16))
+    bench("16M u32 keys-only, method='radix' (golden gate)",
+          lambda a: trs.sort(a, method="radix"), k16, n,
+          check=lambda ls: np.array_equal(ls[0], rk16))
+    ke16 = jnp.asarray(np.full(n, 0x9E3779B9, np.uint32))
+    bench("16M u32 all-equal keys, method='radix' (wrap edge)",
+          lambda a: trs.sort(a, method="radix"), ke16, n,
+          check=lambda ls: np.array_equal(
+              ls[0], np.full(n, 0x9E3779B9, np.uint32)))
+    del k16, rk16, ke16
 
     # past the reference's ceiling: its default WebGPU limits cap at 2^26
     # elements (maxBufferSize, README.md:100-106); one v5e chip does 2^27+

@@ -173,6 +173,36 @@ def test_mesh_sort_check_order(rng, n_dev):
     np.testing.assert_array_equal(np.asarray(gv), rv)
 
 
+def test_mesh_sort_check_order_gate_actually_fires(rng, monkeypatch):
+    """Round-3 advisor: output equality alone cannot distinguish "gate took
+    the passthrough" from "gate re-sorted sorted input" (identical bytes).
+    Poison the sort branch at runtime: if the early exit ever stops firing
+    on sorted input, the poisoned branch corrupts the output and this test
+    fails — `lax.cond` executes only the taken branch."""
+    import importlib
+
+    # the function export in parallel/__init__ shadows the submodule attr
+    ms_mod = importlib.import_module("tpu_radix_sort.parallel.mesh_sort")
+
+    mesh = make_mesh(4)
+    n = 2048
+    real = ms_mod._shard_sort
+
+    def poisoned(arrs, **kw):
+        return tuple(a ^ jnp.uint32(0xDEAD) for a in real(arrs, **kw))
+
+    monkeypatch.setattr(ms_mod, "_shard_sort", poisoned)
+    srt = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(srt)), mesh=mesh,
+                    check_order=True)
+    np.testing.assert_array_equal(np.asarray(got), srt)  # passthrough fired
+    # sanity: unsorted input takes the (poisoned) sort branch
+    rnd = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = mesh_sort(sharded(mesh, "x", jnp.asarray(rnd)), mesh=mesh,
+                    check_order=True)
+    assert not np.array_equal(np.asarray(got), golden_sort(rnd))
+
+
 def test_mesh_sort_check_order_jits(rng):
     mesh = make_mesh(4)
     srt = np.sort(rng.integers(0, 2**32, size=2048, dtype=np.uint32))

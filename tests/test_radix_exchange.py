@@ -171,6 +171,30 @@ def test_exchange_sort_check_order(rng):
     np.testing.assert_array_equal(np.asarray(gk), golden_sort(bad))
 
 
+def test_exchange_check_order_gate_actually_fires(rng, monkeypatch):
+    """Round-3 advisor: equality on sorted input also passes if the gate
+    silently re-sorts. Poison the sort branch: the passthrough must keep
+    the output clean at runtime (`lax.cond` executes one branch)."""
+    from tpu_radix_sort.parallel import radix_exchange as rx_mod
+
+    mesh = make_mesh(4)
+    n = 2048
+    real = rx_mod._shard_exchange_sort
+
+    def poisoned(arrs, **kw):
+        return tuple(a ^ jnp.uint32(0xDEAD) for a in real(arrs, **kw))
+
+    monkeypatch.setattr(rx_mod, "_shard_exchange_sort", poisoned)
+    srt = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    got = exchange_sort(sharded(mesh, "x", jnp.asarray(srt)), mesh=mesh,
+                        check_order=True)
+    np.testing.assert_array_equal(np.asarray(got), srt)  # passthrough fired
+    rnd = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    got = exchange_sort(sharded(mesh, "x", jnp.asarray(rnd)), mesh=mesh,
+                        check_order=True)
+    assert not np.array_equal(np.asarray(got), golden_sort(rnd))
+
+
 def test_exchange_sort_merge_and_fallback_branches(rng):
     """Phase 4 is a log2(D)-round merge tree when every chunk fits its slot
     (uniform data), and the contiguous full re-sort under slot-overflowing
