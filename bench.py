@@ -20,8 +20,8 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "")  # real device if present
 
 PROBE_TIMEOUT_S = int(os.environ.get("TRS_BENCH_PROBE_TIMEOUT_S", "120"))
-PROBE_RETRIES = int(os.environ.get("TRS_BENCH_PROBE_RETRIES", "3"))
-RETRY_WAIT_S = int(os.environ.get("TRS_BENCH_RETRY_WAIT_S", "120"))
+PROBE_RETRIES = int(os.environ.get("TRS_BENCH_PROBE_RETRIES", "2"))
+RETRY_WAIT_S = int(os.environ.get("TRS_BENCH_RETRY_WAIT_S", "60"))
 
 
 def probe_backend():

@@ -171,6 +171,30 @@ def test_exchange_sort_check_order(rng):
     np.testing.assert_array_equal(np.asarray(gk), golden_sort(bad))
 
 
+def test_exchange_sort_podscale_probe_path(rng, monkeypatch):
+    """The k=8 multi-probe bisection path (4 rounds of 256 probes) only
+    engages at D > 65 devices (`_probe_log2`), which no CPU mesh reaches —
+    force it on the 8-device mesh so both probe geometries are exercised
+    end-to-end, including tie distribution under heavy duplicates."""
+    from tpu_radix_sort.parallel import radix_exchange as rx_mod
+
+    assert rx_mod._probe_log2(8) == 16
+    assert rx_mod._probe_log2(256) == 8
+    monkeypatch.setattr(rx_mod, "_probe_log2", lambda n_dev: 8)
+    mesh = make_mesh(8)
+    n = 6000
+    keys = rng.integers(0, 2**6, size=n, dtype=np.uint32)  # heavy duplicates
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = exchange_sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh,
+    )
+    rk, rv = golden_sort(keys, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
 def test_exchange_check_order_gate_actually_fires(rng, monkeypatch):
     """Round-3 advisor: equality on sorted input also passes if the gate
     silently re-sorts. Poison the sort branch: the passthrough must keep
