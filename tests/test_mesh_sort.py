@@ -219,3 +219,67 @@ def test_mesh_sort_jit_sharded(rng):
     f = jax.jit(lambda k: mesh_sort(k, mesh=mesh))
     got = f(sharded(mesh, "x", keys))
     np.testing.assert_array_equal(np.asarray(got), golden_sort(np.asarray(keys)))
+
+
+def test_public_sort_mesh_routing(rng, monkeypatch):
+    """`trs.sort(..., mesh=)` is the single distributed entrypoint: auto
+    routes by device count (compare-split <= 4 devices, exchange above —
+    DESIGN.md crossing-volume table), explicit method names force a
+    strategy, and results match golden either way."""
+    import tpu_radix_sort as trs
+    from tpu_radix_sort import parallel as par
+
+    calls = []
+
+    def spy(name, real):
+        def wrapped(*a, **kw):
+            calls.append(name)
+            return real(*a, **kw)
+        return wrapped
+
+    # ops.sort resolves parallel.mesh_sort / parallel.exchange_sort at call
+    # time, so patching the parallel package attrs intercepts the routing
+    monkeypatch.setattr(par, "mesh_sort", spy("mesh", par.mesh_sort))
+    monkeypatch.setattr(par, "exchange_sort",
+                        spy("exchange", par.exchange_sort))
+
+    n = 4096
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+
+    mesh8 = make_mesh(8)
+    got = trs.sort(sharded(mesh8, "x", jnp.asarray(keys)), mesh=mesh8)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+    assert calls[-1] == "exchange"
+
+    mesh4 = make_mesh(4)
+    got = trs.sort(sharded(mesh4, "x", jnp.asarray(keys)), mesh=mesh4)
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+    assert calls[-1] == "mesh"
+
+    got = trs.sort(sharded(mesh8, "x", jnp.asarray(keys)), mesh=mesh8,
+                   method="mesh")
+    np.testing.assert_array_equal(np.asarray(got), golden_sort(keys))
+    assert calls[-1] == "mesh"
+
+    with pytest.raises(ValueError, match="mesh"):
+        trs.sort(jnp.asarray(keys), mesh=mesh8, method="radix")
+
+
+def test_public_sort_mesh_kv_options(rng):
+    """Routed path carries the full option surface (count/bit_count/
+    descending/values) with single-chip semantics."""
+    import tpu_radix_sort as trs
+
+    mesh = make_mesh(8)
+    n, count = 5000, 4321
+    keys = rng.integers(0, 2**8, size=n, dtype=np.uint32)
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = trs.sort(
+        sharded(mesh, "x", jnp.asarray(keys)),
+        sharded(mesh, "x", jnp.asarray(values)),
+        mesh=mesh, count=count, bit_count=8, descending=True,
+    )
+    rk, rv = golden_sort(keys, values, count=count, bit_count=8,
+                         descending=True)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)

@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from . import bitonic, checksort, common
 
 _METHODS = ("auto", "bitonic", "radix", "xla")
+# distributed strategies selectable through the same `method` knob once a
+# `mesh=` is passed (single entrypoint, like the reference's one kernel
+# class hiding its dispatch choices, `AbstractRadixSortKernel.ts:52-57`)
+_MESH_METHODS = ("auto", "mesh", "exchange")
 
 # The bitonic network needs a power-of-two length, so a plain pad can cost
 # up to 2x (measured: 65M keys-only 144 ms vs 64M 70 ms on v5e). When the
@@ -182,6 +186,8 @@ def sort(
     method: str = "auto",
     block_rows=None,
     interpret=None,
+    mesh=None,
+    axis_name: str = "x",
 ):
     """Stable sort with the reference's semantics (ascending by default).
 
@@ -189,6 +195,17 @@ def sort(
     index >= count are returned untouched. `descending=True` is an extension
     past the reference (which is ascending-only, `README.md:94`): stable
     descending via an ascending sort of the bit-flipped masked key.
+
+    ``mesh=`` routes the same call across a `jax.sharding.Mesh` axis
+    (shard inputs along `axis_name` for the exchange to ride ICI):
+    `method='auto'` picks the exact-splitter radix exchange
+    (:func:`tpu_radix_sort.exchange_sort`, one data crossing per element)
+    for meshes larger than 4 devices and the compare-split network
+    (:func:`tpu_radix_sort.mesh_sort`, skew-immune fixed-size ppermutes)
+    for small ones — DESIGN.md "exchange volumes" table; `method='mesh'`
+    or `'exchange'` forces a strategy. `values_are_ranks` is a single-chip
+    comparison-engine contract and is ignored distributed (the shard-local
+    index tie-break is built in).
 
     `values_are_ranks=True` promises that `values`, viewed as u32, is
     strictly increasing with every element < 0xFFFFFFFF (e.g. the identity
@@ -199,6 +216,34 @@ def sort(
     If the promise is broken, equal-key runs come out ordered by value bits
     instead of by original position.
     """
+    if mesh is not None:
+        if method not in _MESH_METHODS:
+            raise ValueError(
+                f"with mesh=, method must be one of {_MESH_METHODS}, "
+                f"got {method}"
+            )
+        from .. import parallel  # local import: ops must not require parallel
+
+        if method == "auto":
+            # crossing-volume heuristic (DESIGN.md): compare-split moves
+            # each element log2(D)(log2(D)+1)/2 times vs the exchange's 1,
+            # but wins at small D on pattern regularity; 4 is the break.
+            method = "mesh" if mesh.shape[axis_name] <= 4 else "exchange"
+        fn = parallel.mesh_sort if method == "mesh" else parallel.exchange_sort
+        return fn(
+            keys,
+            values,
+            mesh=mesh,
+            axis_name=axis_name,
+            count=count,
+            bit_count=bit_count,
+            check_order=check_order,
+            total_order=total_order,
+            descending=descending,
+            block_rows=block_rows,
+            interpret=interpret,
+        )
+
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
