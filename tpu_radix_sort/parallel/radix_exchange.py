@@ -23,8 +23,10 @@ Phases (all inside one `shard_map`, all static-shape):
    (data is sorted), receive sizes come from an all-gathered D x D size
    matrix, and every shard receives EXACTLY L elements — rank ranges tile
    the array. Payloads ride the same metadata.
-4. **Local re-sort** of the D received sorted chunks (bitonic; a D-way
-   merge is a future optimization).
+4. **D-way merge** of the received sorted chunks: each source's chunk sits
+   in its own pow2 slot, so only the log2(D) bitonic merge-tree rounds run
+   (`bitonic.merge_tree_padded`); a slot-overflowing skew chunk makes every
+   shard agree (all-gathered size matrix) to fall back to a full re-sort.
 
 Communication: one data exchange + 2 probe-count psums + two small
 all_gathers ((D,2,D-1) tie counts and the (D,D) size matrix) — vs
