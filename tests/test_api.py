@@ -107,3 +107,31 @@ def test_check_order_kernel(rng):
     kern = trs.RadixSortKernel(count=n, check_order=True)
     out = np.asarray(kern.dispatch(jnp.asarray(k)))
     assert np.array_equal(out, k)
+
+
+def test_kernel_class_mesh(rng):
+    """`RadixSortKernel(mesh=)`: one constructed instance is a distributed
+    pipeline (construct-once/dispatch-many over a Mesh axis), AOT compile
+    included — the sharded-aval analogue of the reference's eager pipeline
+    build (`AbstractRadixSortKernel.ts:80-108`)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs), ("x",))
+    n = 4096
+    kern = trs.RadixSortKernel(count=n, has_values=True, mesh=mesh)
+    keys = rng.integers(0, 2**10, size=n, dtype=np.uint32)
+    values = np.arange(n, dtype=np.uint32)
+    sh = NamedSharding(mesh, P("x"))
+    gk, gv = kern.dispatch(
+        jax.device_put(jnp.asarray(keys), sh),
+        jax.device_put(jnp.asarray(values), sh),
+    )
+    rk, rv = golden_sort(keys, values)
+    np.testing.assert_array_equal(np.asarray(gk), rk)
+    np.testing.assert_array_equal(np.asarray(gv), rv)
+
+    exe = trs.RadixSortKernel(count=n, mesh=mesh).compile()
+    out = exe(jax.device_put(jnp.asarray(keys), sh))
+    np.testing.assert_array_equal(np.asarray(out), golden_sort(keys))

@@ -38,7 +38,9 @@ class RadixSortKernel:
 
     Options mirror the reference constructor
     (`RadixSortBufferKernel.ts:14-23`): count, bit_count, check_order; plus
-    TPU-native knobs (method, block_rows, total_order). `local_shuffle` and
+    TPU-native knobs (method, block_rows, total_order, and `mesh=` — one
+    constructed instance as a distributed pipeline over a
+    `jax.sharding.Mesh` axis, see ops/sort.py routing). `local_shuffle` and
     `avoid_bank_conflicts` are accepted for API compatibility and ignored:
     both are WGSL micro-optimizations that the reference itself measures as
     no-ops and ships disabled (`README.md:124-129,162-168`); the TPU engine
@@ -61,6 +63,8 @@ class RadixSortKernel:
         block_rows=None,
         local_shuffle: bool = False,
         avoid_bank_conflicts: bool = False,
+        mesh=None,
+        axis_name: str = "x",
     ):
         common.validate_bit_count(bit_count)
         del local_shuffle, avoid_bank_conflicts  # accepted, ignored (see docstring)
@@ -71,6 +75,8 @@ class RadixSortKernel:
         self.key_dtype = jnp.dtype(key_dtype)
         self.value_dtype = jnp.dtype(value_dtype)
         self.method = method
+        self.mesh = mesh
+        self.axis_name = axis_name
 
         kwargs = dict(
             count=self.count,
@@ -81,6 +87,11 @@ class RadixSortKernel:
             values_are_ranks=values_are_ranks,
             method=method,
             block_rows=block_rows,
+            # mesh= makes this one constructed instance a DISTRIBUTED
+            # pipeline (routing in ops/sort.py) — same construct-once/
+            # dispatch-many contract, over a jax.sharding.Mesh axis
+            mesh=mesh,
+            axis_name=axis_name,
         )
         if self.has_values:
             self._fn = jax.jit(lambda k, v: sort_ops.sort(k, v, **kwargs))
@@ -98,11 +109,21 @@ class RadixSortKernel:
         return self._fn(keys)
 
     def compile(self, buffer_len=None):
-        """Ahead-of-time compile for a given buffer length (defaults to count)."""
+        """Ahead-of-time compile for a given buffer length (defaults to count).
+
+        With `mesh=`, the input avals carry the shard-along-axis sharding
+        (the layout dispatch expects), so the AOT executable is the real
+        distributed pipeline, collectives included.
+        """
         n = buffer_len or self.count
-        k = jax.ShapeDtypeStruct((n,), self.key_dtype)
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec(self.axis_name))
+        k = jax.ShapeDtypeStruct((n,), self.key_dtype, sharding=sharding)
         if self.has_values:
-            v = jax.ShapeDtypeStruct((n,), self.value_dtype)
+            v = jax.ShapeDtypeStruct((n,), self.value_dtype, sharding=sharding)
             return self._fn.lower(k, v).compile()
         return self._fn.lower(k).compile()
 
