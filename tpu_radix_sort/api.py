@@ -172,7 +172,8 @@ class PrefixSumKernel:
     """
 
     def __init__(self, *, count: int, inclusive: bool = False, block_rows=None,
-                 avoid_bank_conflicts: bool = False):
+                 avoid_bank_conflicts: bool = False, mesh=None,
+                 axis_name: str = "x"):
         del avoid_bank_conflicts  # accepted, ignored (see docstring)
         self.count = int(count)
         self._fn = jax.jit(
@@ -181,6 +182,10 @@ class PrefixSumKernel:
                 count=self.count,
                 inclusive=inclusive,
                 block_rows=block_rows,
+                # mesh= = distributed scan (parallel/scan.py), same
+                # construct-once contract as RadixSortKernel(mesh=)
+                mesh=mesh,
+                axis_name=axis_name,
             )
         )
 

@@ -103,12 +103,24 @@ def scan_padded(x2d, *, inclusive=False, block_rows=None, interpret=None):
     )(x2d)
 
 
-def prefix_sum(items, *, count=None, inclusive=False, block_rows=None, interpret=None):
+def prefix_sum(items, *, count=None, inclusive=False, block_rows=None,
+               interpret=None, mesh=None, axis_name="x"):
     """Exclusive (default) prefix sum of the first `count` elements, u32 wrap.
 
     Matches the reference's public PrefixSumKernel semantics: ascending
     exclusive scan, in place over the prefix, suffix untouched.
+
+    ``mesh=`` runs the scan across a `jax.sharding.Mesh` axis (shard `items`
+    along `axis_name`): per-shard streaming Pallas scan + ONE tiny
+    all_gather of shard totals (`parallel/scan.py`).
     """
+    if mesh is not None:
+        from ..parallel.scan import mesh_prefix_sum
+
+        return mesh_prefix_sum(
+            items, mesh=mesh, axis_name=axis_name, count=count,
+            inclusive=inclusive, block_rows=block_rows, interpret=interpret,
+        )
     items = jnp.asarray(items)
     if items.dtype not in (jnp.uint32, jnp.int32):
         raise TypeError(f"prefix_sum expects uint32/int32, got {items.dtype}")

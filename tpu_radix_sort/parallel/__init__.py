@@ -5,8 +5,13 @@ Two exchange strategies:
   exchanges, log^2(D) rounds; best at small D)
 - :func:`exchange_sort` — exact-splitter radix exchange (one ragged
   all-to-all; best at pod scale; skew-immune by rank-based splitting)
+
+Plus the reference's other public op lifted to the mesh:
+- :func:`mesh_prefix_sum` — per-shard streaming Pallas scan + ONE tiny
+  all_gather of shard totals (u32 wrap addition is associative)
 """
 from .mesh_sort import mesh_sort, sharded
 from .radix_exchange import exchange_sort
+from .scan import mesh_prefix_sum
 
-__all__ = ["mesh_sort", "exchange_sort", "sharded"]
+__all__ = ["mesh_sort", "exchange_sort", "mesh_prefix_sum", "sharded"]
