@@ -100,7 +100,8 @@ def _as_check_key(u: jax.Array, bit_count: int) -> jax.Array:
 
 
 def disorder_count(
-    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None
+    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None,
+    mesh=None, axis_name: str = "x",
 ) -> jax.Array:
     """Number of adjacent inversions in the first `count` keys (0 == sorted).
 
@@ -111,8 +112,17 @@ def disorder_count(
 
     Large inputs run the streaming Pallas reduction (the reference's
     `check_sort` kernel, `src/shaders/CheckSort.ts:70-113`, collapsed to one
-    pass); small ones use the XLA reduction.
+    pass); small ones use the XLA reduction. ``mesh=`` runs it across a
+    `jax.sharding.Mesh` axis (per-shard reductions + one ppermute + one
+    psum, `parallel/check.py`).
     """
+    if mesh is not None:
+        from ..parallel.check import mesh_disorder_count
+
+        return mesh_disorder_count(
+            u, mesh=mesh, axis_name=axis_name, count=count,
+            bit_count=bit_count, interpret=interpret,
+        )
     common.validate_bit_count(bit_count)
     u = _as_check_key(u, bit_count)
     if count is not None:
@@ -136,7 +146,8 @@ def disorder_count(
 
 
 def is_sorted(
-    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None
+    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None,
+    mesh=None, axis_name: str = "x",
 ) -> jax.Array:
     """Fast-gated full order check, mirroring the reference's two-phase check.
 
@@ -146,8 +157,17 @@ def is_sorted(
     fast_count - 1, AbstractRadixSortKernel.ts:139-141). `count`/`bit_count`
     check a prefix of a larger buffer on the low key bits, like the
     reference's START_ELEMENT/ELEMENT_COUNT overrides
-    (`CheckSortBufferKernel.ts:84-103`).
+    (`CheckSortBufferKernel.ts:84-103`). ``mesh=`` runs the fast-gated
+    check across a `jax.sharding.Mesh` axis (`parallel/check.py` — the
+    same gate the distributed sorts' `check_order=True` uses).
     """
+    if mesh is not None:
+        from ..parallel.check import mesh_is_sorted
+
+        return mesh_is_sorted(
+            u, mesh=mesh, axis_name=axis_name, count=count,
+            bit_count=bit_count, interpret=interpret,
+        )
     common.validate_bit_count(bit_count)
     u = _as_check_key(u, bit_count)
     if count is not None:

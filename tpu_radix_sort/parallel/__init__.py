@@ -10,8 +10,16 @@ Plus the reference's other public op lifted to the mesh:
 - :func:`mesh_prefix_sum` — per-shard streaming Pallas scan + ONE tiny
   all_gather of shard totals (u32 wrap addition is associative)
 """
+from .check import mesh_disorder_count, mesh_is_sorted
 from .mesh_sort import mesh_sort, sharded
 from .radix_exchange import exchange_sort
 from .scan import mesh_prefix_sum
 
-__all__ = ["mesh_sort", "exchange_sort", "mesh_prefix_sum", "sharded"]
+__all__ = [
+    "mesh_sort",
+    "exchange_sort",
+    "mesh_prefix_sum",
+    "mesh_is_sorted",
+    "mesh_disorder_count",
+    "sharded",
+]
