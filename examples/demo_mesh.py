@@ -58,6 +58,9 @@ def main():
                    help="mesh strategy: exchange pipelined in this many "
                         "sub-chunks (comm/compute overlap)")
     p.add_argument("--descending", action="store_true")
+    p.add_argument("--scan", action="store_true",
+                   help="also run the distributed prefix sum + order checks "
+                        "(prefix_sum/is_sorted/disorder_count with mesh=)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -103,6 +106,25 @@ def main():
             out_k = fn(keys, None)
             ok = np.array_equal(np.asarray(out_k), ref_k)
         print(f"  {name:34s} {time.time()-t0:6.1f}s  golden-exact={ok}")
+
+    if args.scan:
+        from tpu_radix_sort.models.golden import golden_prefix_sum
+
+        small = keys_np % np.uint32(100)
+        xs = sharded(mesh, "x", jnp.asarray(small))
+        t0 = time.time()
+        ps_ok = np.array_equal(
+            np.asarray(trs.prefix_sum(xs, mesh=mesh)),
+            golden_prefix_sum(small),
+        )
+        print(f"  {'prefix_sum (mesh)':34s} {time.time()-t0:6.1f}s  "
+              f"golden-exact={ps_ok}")
+        t0 = time.time()
+        dis = int(trs.disorder_count(keys, mesh=mesh))
+        srt_ok = bool(trs.is_sorted(
+            sharded(mesh, "x", jnp.asarray(np.sort(keys_np))), mesh=mesh))
+        print(f"  {'order checks (mesh)':34s} {time.time()-t0:6.1f}s  "
+              f"disorder={dis}  sorted-input-is_sorted={srt_ok}")
 
 
 if __name__ == "__main__":
