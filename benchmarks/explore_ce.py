@@ -252,6 +252,43 @@ def bench_slicing_chunked(n_arr, stable, chunk):
         bitonic.USE_SLICING_CE = old_flag
 
 
+def bench_engine_fold2(n=1 << 26):
+    """Full-engine A/B of USE_FOLD2_CE on the headline shape (64M k+v,
+    rank payload — the 2-array stable path the flag rewrites). Decides
+    round-3 VERDICT item 6: flip the default iff ON beats OFF here.
+    jax.clear_caches() between flips: the flag is read at trace time, so a
+    warm _sort_jit cache would silently reuse the OFF pipeline."""
+    import tpu_radix_sort as trs
+    from tpu_radix_sort.ops import bitonic as b
+
+    k = jax.random.bits(jax.random.PRNGKey(7), (n,), dtype=jnp.uint32)
+    v = jnp.arange(n, dtype=jnp.uint32)
+    for flag in (False, True):
+        old = b.USE_FOLD2_CE
+        b.USE_FOLD2_CE = flag
+        jax.clear_caches()
+        try:
+            t0 = time.time()
+
+            def f(kk, vv):
+                return trs.sort(kk, vv, method="bitonic",
+                                values_are_ranks=True)
+
+            ok, ov = f(k, v)
+            np.asarray(ok[:1])
+            compile_s = time.time() - t0
+            t = device_time(lambda kk: f(kk, v)[0], k, k_lo=2, k_hi=10)
+            name = f"engine 64M k+v rank-payload fold2={'ON ' if flag else 'OFF'}"
+            print(f"{name:44s} {t*1e3:8.3f} ms  "
+                  f"(compile {compile_s:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"engine fold2={flag} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+        finally:
+            b.USE_FOLD2_CE = old
+    jax.clear_caches()
+
+
 def main():
     print("device:", jax.devices()[0], flush=True)
     print(f"16 sublane stages at {N>>20}M u32, tile {TILE_ROWS}x{LANES}",
@@ -262,6 +299,7 @@ def main():
     bench("minmax biased-signed keys-only (1 arr)", 1, "minmax")
     bench("fold2: minmax key + tuple-cmp rank (2 arr)", 2, "fold2minmax",
           stable=True)
+    bench_engine_fold2()
     bench("xorswap select-free (1 arr)", 1, "xorswap")
     bench("xorswap select-free (2 arr stable)", 2, "xorswap", stable=True)
     bench("xorswap select-free (3 arr stable)", 3, "xorswap", stable=True)

@@ -265,6 +265,47 @@ def test_transposed_lane_stage_path(rng, monkeypatch):
     assert np.array_equal(np.asarray(ov), rv)
 
 
+def test_fold2_stable_path(rng, monkeypatch):
+    """Byte-exactness of the USE_FOLD2_CE stable (key, rank) fast path
+    (round-3 VERDICT item 6 candidate — see ops/bitonic.py). Covers
+    multi-tile merge rounds, duplicates (tie-break correctness), descending
+    (direction folded into the rank too), masked bit_count, sub-counts, and
+    the transpose bracketing; flag default stays off until the on-chip A/B."""
+    from tpu_radix_sort.ops import bitonic
+
+    monkeypatch.setattr(bitonic, "USE_FOLD2_CE", True)
+    for transpose in (False, True):
+        monkeypatch.setattr(bitonic, "_TEST_TRANSPOSE_IN_INTERPRET", transpose)
+        for n, block_rows in ((900, None), (3000, 4)):
+            k = _rand_keys(rng, n, hi=50)  # heavy duplicates
+            v = np.arange(n, dtype=np.uint32)
+            kj, vj = jnp.asarray(k), jnp.asarray(v)
+            rk, rv = golden_sort(k, v)
+            # values_are_ranks=True + bit_count=32 is the 2-array (key,
+            # rank) assembly — the only one fold2 covers; ranks=False (a
+            # 3-array control) must be untouched by the flag
+            for ranks in (False, True):
+                ok, ov = trs.sort(kj, vj, method="bitonic",
+                                  block_rows=block_rows,
+                                  values_are_ranks=ranks)
+                np.testing.assert_array_equal(np.asarray(ok), rk,
+                                              err_msg=str((n, ranks)))
+                np.testing.assert_array_equal(np.asarray(ov), rv,
+                                              err_msg=str((n, ranks)))
+            okd, ovd = trs.sort(kj, vj, method="bitonic",
+                                block_rows=block_rows, descending=True,
+                                values_are_ranks=True)
+            rkd, rvd = golden_sort(k, v, descending=True)
+            np.testing.assert_array_equal(np.asarray(okd), rkd)
+            np.testing.assert_array_equal(np.asarray(ovd), rvd)
+            c = (2 * n) // 3
+            okc, ovc = trs.sort(kj, vj, method="bitonic", count=c,
+                                block_rows=block_rows, values_are_ranks=True)
+            rkc, rvc = golden_sort(k, v, count=c)
+            np.testing.assert_array_equal(np.asarray(okc), rkc)
+            np.testing.assert_array_equal(np.asarray(ovc), rvc)
+
+
 def test_nonpow2_split_sort_matches_golden(rng, monkeypatch):
     """The non-pow2 split path (prefix sort + remainder sort + one merge)
     must be byte-exact vs golden across the feature surface. The threshold

@@ -81,6 +81,16 @@ _TEST_TRANSPOSE_IN_INTERPRET = False
 # unsigned vector min (arith.minui, measured 2026-08-17), hence the
 # 0x80000000 sign bias + i32 min/max.
 USE_MINMAX_CE = True
+# Stable 2-array (key, rank) CE via the same XOR-fold: direction is folded
+# into BOTH arrays (complementing the rank flips tie order together with the
+# key order, so descending-by-tuple == ascending-by-complemented-tuple). The
+# key output then needs no decision chain at all — min via the fwd roll at
+# first slots, max via the bwd roll at second slots — and only the rank pays
+# a lexicographic compare per roll direction. Candidate from round-3 VERDICT
+# item 6 (benchmarks/explore_ce.py `fold2minmax` row); OFF until the on-chip
+# A/B shows it beating `_ce_roll`'s 2-array path. Byte-exactness is pinned
+# either way by tests/test_sort.py::test_fold2_stable_path.
+USE_FOLD2_CE = False
 
 
 def _roll(x, shift, axis):
@@ -195,6 +205,38 @@ def _ce_roll_minmax(y, j, rid, cid):
     return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
 
+def _ce_roll_fold2(y, s, j, rid, cid):
+    """Stable (key, rank) CE at stride j on direction-folded views (y, s).
+
+    Both arrays are pre-XORed with the round's direction mask (plus the i32
+    sign bias on the key only), so tuple order is "ascending everywhere":
+    the key keeps min(pair) at first slots via the forward roll and
+    max(pair) at second slots via the backward roll with no decision chain;
+    the rank resolves the full lexicographic tuple compare once per roll
+    direction. Garbage lanes of each roll land only on positions whose
+    select branch ignores them (same argument as :func:`_ce_roll_minmax`).
+    """
+    yi = jax.lax.bitcast_convert_type(y, jnp.int32)
+    if j >= LANES:
+        m = j // LANES
+        first = (rid & m) == 0
+        yf, yb = _roll(yi, -m, 0), _roll(yi, m, 0)
+        sf, sb = _roll(s, -m, 0), _roll(s, m, 0)
+    else:
+        first = (cid & j) == 0
+        yf, yb = _roll(yi, -j, 1), _roll(yi, j, 1)
+        sf, sb = _roll(s, -j, 1), _roll(s, j, 1)
+    out_y = jnp.where(first, jnp.minimum(yi, yf), jnp.maximum(yi, yb))
+    tl_f = (yf < yi) | ((yf == yi) & (sf < s))  # fwd partner tuple-less
+    tl_b = (yb < yi) | ((yb == yi) & (sb < s))  # bwd partner tuple-less
+    out_s = jnp.where(
+        first,
+        jnp.where(tl_f, sf, s),  # first slot keeps the tuple-min's rank
+        jnp.where(tl_b, s, sb),  # second slot keeps the tuple-max's rank
+    )
+    return jax.lax.bitcast_convert_type(out_y, jnp.uint32), out_s
+
+
 def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
                    dyn_k, transpose_lanes=True):
     """Run `stages` = [(k, j_local)] on one VMEM block of (kernel_rows, 128).
@@ -216,6 +258,9 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
     # keys-only fast path: fold sign bias + per-round direction into the
     # data by XOR and run every CE as signed min/max (see USE_MINMAX_CE)
     fast = USE_MINMAX_CE and not stable and n_arr == 1
+    # stable (key, rank) fast path: fold direction into BOTH arrays so the
+    # key CE is pure min/max and only the rank pays the tuple compare
+    fast2 = USE_FOLD2_CE and stable and n_arr == 2
     shape = (kernel_rows, LANES)
     # hoist the index planes: one iota pair per kernel, not per stage
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -257,15 +302,23 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             arrs = tuple(jnp.transpose(a) for a in arrs)
             transposed = want_t
         if (k, transposed) != prev:  # direction mask is per round
-            if fast:
+            if fast or fast2:
                 # re-fold the data to the new round's direction (+ the i32
-                # sign bias on entry); a transpose-only change needs nothing
-                # (the folded state rides the transpose)
+                # sign bias on the key on entry); a transpose-only change
+                # needs nothing (the folded state rides the transpose)
                 tgt = dm32(k, transposed)
                 if prev[0] is _unset:
-                    arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ tgt),)
+                    dk = jnp.uint32(0x80000000) ^ tgt
+                    ds = tgt
                 elif k != prev[0]:
-                    arrs = (arrs[0] ^ (dm32(prev[0], transposed) ^ tgt),)
+                    dk = ds = dm32(prev[0], transposed) ^ tgt
+                else:
+                    dk = ds = None
+                if dk is not None:
+                    if fast:
+                        arrs = (arrs[0] ^ dk,)
+                    else:
+                        arrs = (arrs[0] ^ dk, arrs[1] ^ ds)
             else:
                 up = direction(k, transposed)
             prev = (k, transposed)
@@ -274,6 +327,11 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
             arrs = (_ce_roll_minmax(
                 arrs[0], jj, rid_t if transposed else rid,
                 cid_t if transposed else cid),)
+        elif fast2:
+            jj = j * LANES if transposed else j
+            arrs = _ce_roll_fold2(
+                arrs[0], arrs[1], jj, rid_t if transposed else rid,
+                cid_t if transposed else cid)
         elif transposed:
             # lane stride j -> sublane stride of j rows on the transposed
             # view; first-mask bit j now lives in rid_t
@@ -293,6 +351,10 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
         # unfold: remove the sign bias + the last round's direction mask
         # (in the untransposed orientation)
         arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ dm32(prev[0], False)),)
+    elif fast2 and prev[0] is not _unset:
+        m_last = dm32(prev[0], False)
+        arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ m_last),
+                arrs[1] ^ m_last)
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 
