@@ -146,6 +146,33 @@ def _kernel(refs, *, n_arr, variant, stable):
                 jnp.where(tl_b, s, sb),   # second keeps tuple-max
             )
             arrs = (jax.lax.bitcast_convert_type(out_y, jnp.uint32), out_s)
+        elif variant == "fold3minmax":
+            # fold2 extended to the 3-array (key, idx, payload) assembly
+            # (generic k+v and masked-key sorts): direction folded into key
+            # AND idx upstream, payload co-moves on the same tuple verdicts.
+            # Same roll count as baseline (2/array); the key drops its
+            # decision chain, each other array pays one extra select.
+            y = jax.lax.bitcast_convert_type(arrs[0], jnp.int32)
+            s, p = arrs[1], arrs[2]
+            yf = pltpu.roll(y, (-m) % TILE_ROWS, axis=0)
+            yb = pltpu.roll(y, m % TILE_ROWS, axis=0)
+            sf = pltpu.roll(s, (-m) % TILE_ROWS, axis=0)
+            sb = pltpu.roll(s, m % TILE_ROWS, axis=0)
+            pf = pltpu.roll(p, (-m) % TILE_ROWS, axis=0)
+            pb = pltpu.roll(p, m % TILE_ROWS, axis=0)
+            out_y = jnp.where(
+                first, jnp.minimum(y, yf), jnp.maximum(y, yb)
+            )
+            tl_f = (yf < y) | ((yf == y) & (sf < s))
+            tl_b = (yb < y) | ((yb == y) & (sb < s))
+            out_s = jnp.where(
+                first, jnp.where(tl_f, sf, s), jnp.where(tl_b, s, sb)
+            )
+            out_p = jnp.where(
+                first, jnp.where(tl_f, pf, p), jnp.where(tl_b, p, pb)
+            )
+            arrs = (jax.lax.bitcast_convert_type(out_y, jnp.uint32),
+                    out_s, out_p)
         elif variant == "flipminmax":
             x = arrs[0]
             p = _flip_partner(x, m)
@@ -298,6 +325,8 @@ def main():
     bench("baseline roll (3 arr stable)", 3, "roll", stable=True)
     bench("minmax biased-signed keys-only (1 arr)", 1, "minmax")
     bench("fold2: minmax key + tuple-cmp rank (2 arr)", 2, "fold2minmax",
+          stable=True)
+    bench("fold3: minmax key + idx + payload (3 arr)", 3, "fold3minmax",
           stable=True)
     bench_engine_fold2()
     bench("xorswap select-free (1 arr)", 1, "xorswap")
