@@ -7,6 +7,11 @@ numbers come from bench.py / benchmarks/, not the unit suite.
 import os
 
 os.environ["TRS_INTERPRET"] = "1"
+# Pin the backend to CPU *before* jax import: the unit suite never uses the
+# real chip, and letting JAX probe the experimental axon platform makes the
+# whole suite hostage to the tunnel (a wedged tunnel blocked collection for
+# 25 min and then errored out, 2026-08-17 — CLAUDE.md "Machine gotchas").
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -14,6 +19,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The env var above is read at jax-import time, and sitecustomize imports
+# jax at interpreter start (to register the axon plugin) — before conftest
+# runs. The runtime config update is what actually restricts backends()
+# here, keeping a wedged tunnel from blocking backend init for the whole
+# suite (the plugin's get_backend hook passes "cpu" through untouched).
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(autouse=True)
