@@ -225,6 +225,32 @@ def main():
     bench("256M u32 keys-only (4x the reference's ceiling)",
           lambda a: trs.sort(a), k256, n,
           check=lambda ls: np.array_equal(ls[0], ref256))
+    del k256, ref256, k256np
+
+    # 64-bit keys (extension; ops/sort64.py): (hi, lo) u32 column pairs
+    # through the same network — golden-gated at 16M on chip. x64 mode is
+    # flipped on for this section only (it is part of the jit cache key,
+    # so earlier rows' executables are unaffected; cleared after anyway).
+    jax.config.update("jax_enable_x64", True)
+    try:
+        n = 1 << 24
+        k64np = rng.integers(0, 2**64, n, dtype=np.uint64)
+        k64 = jnp.asarray(k64np)
+        ref64 = np.sort(k64np)
+        bench("16M u64 keys-only (2-column lexicographic)",
+              lambda a: trs.sort(a), k64, n,
+              check=lambda ls: np.array_equal(ls[0], ref64))
+        v64 = jnp.arange(n, dtype=jnp.uint32)
+        order64 = np.argsort(k64np, kind="stable").astype(np.uint32)
+        bench("16M u64 key+value (rank payload)",
+              lambda kv: tuple(trs.sort(*kv, values_are_ranks=True)),
+              (k64, v64), n,
+              check=lambda ls: np.array_equal(ls[0], ref64)
+              and np.array_equal(ls[1], order64))
+        del k64, v64, ref64, order64, k64np
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

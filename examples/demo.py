@@ -56,6 +56,12 @@ def main():
                    help="sort packed (key,value) records in a 2-D layout "
                         "(the reference's texture-mode runner, "
                         "example/index.ts:96-119)")
+    p.add_argument("--dtype", default="uint32",
+                   choices=["uint32", "uint64"],
+                   help="key dtype; uint64 is the 64-bit extension "
+                        "(ops/sort64.py) and runs the functional sort() "
+                        "path (the kernel classes are the 32-bit "
+                        "reference surface)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     if args.packed and args.values:
@@ -64,16 +70,39 @@ def main():
         p.error("--ranks with --consecutive > 1: frames 2+ feed the sorted "
                 "permutation back as values, which violates the "
                 "strictly-increasing rank promise")
+    wide = args.dtype == "uint64"
+    if wide and args.packed:
+        p.error("--packed records are u32 pairs; --dtype uint64 unsupported")
+    if wide:
+        jax.config.update("jax_enable_x64", True)
+        if args.bit_count == 32:
+            args.bit_count = 64  # default follows the key width
 
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)
-    keys_np = rng.integers(0, 2**32, size=args.n, dtype=np.uint64).astype(np.uint32)
+    if wide:
+        keys_np = rng.integers(0, 2**64, size=args.n, dtype=np.uint64)
+    else:
+        keys_np = rng.integers(0, 2**32, size=args.n, dtype=np.uint64).astype(np.uint32)
     if args.presorted:
         keys_np = np.sort(keys_np)
     keys = jnp.asarray(keys_np)
     values = jnp.arange(args.n, dtype=jnp.uint32) if args.values else None
 
-    if args.packed:
+    if wide:
+        # functional path: construct a dispatch-shaped closure so the
+        # timing/consecutive logic below is shared with the class path
+        class _FunctionalKernel:
+            def dispatch(self, k, v=None):
+                return trs.sort(
+                    k, v, bit_count=args.bit_count,
+                    check_order=args.check_order,
+                    values_are_ranks=args.ranks, method=args.method,
+                    block_rows=args.block_rows,
+                )
+
+        kern = _FunctionalKernel()
+    elif args.packed:
         # texture-mode parity: records laid out 2-D, width <= 8192 like the
         # reference's bufferToTexture (src/utils.ts:45-68)
         w = next(w for w in (8192, 4096, 1024, 128, 1) if args.n % w == 0)
@@ -133,9 +162,12 @@ def main():
         t_rest = device_time(step, fed, k_lo=1, k_hi=3)
 
     # CPU baseline (reference compares against Array.prototype.sort,
-    # example/index.ts:147-151; ours is the native C++ radix sort)
+    # example/index.ts:147-151; ours is the native C++ radix sort —
+    # u32-only, so 64-bit keys fall back to NumPy's sort)
     t0 = time.perf_counter()
-    if args.values or args.packed:
+    if wide:
+        np.argsort(keys_np, kind="stable") if args.values else np.sort(keys_np)
+    elif args.values or args.packed:
         cpu_sort(keys_np, np.arange(args.n, dtype=np.uint32))
     else:
         cpu_sort(keys_np)
@@ -143,7 +175,7 @@ def main():
 
     kind = "packed records" if args.packed else (
         "key+value" if args.values else "keys-only")
-    print(f"\n  n={args.n:,}  {kind}  bit_count={args.bit_count}"
+    print(f"\n  n={args.n:,}  {kind} {args.dtype}  bit_count={args.bit_count}"
           f"  check_order={args.check_order}  method={args.method}")
     if t_rest is not None:
         for fr in range(1, args.consecutive + 1):
@@ -157,7 +189,9 @@ def main():
         t_dev = t_avg
     else:
         print(f"  TPU:  {t_dev*1e3:9.3f} ms   {args.n/t_dev/1e9:7.3f} Gkeys/s")
-    print(f"  CPU:  {t_cpu*1e3:9.3f} ms   ({'native radix' if native_available() else 'numpy'})")
+    cpu_kind = "numpy" if wide else (
+        "native radix" if native_available() else "numpy")
+    print(f"  CPU:  {t_cpu*1e3:9.3f} ms   ({cpu_kind})")
     print(f"  speedup: {t_cpu/t_dev:.1f}x")
 
 

@@ -1,0 +1,195 @@
+"""64-bit key sorts (uint64 / int64 / float64) vs the golden oracle.
+
+Extension past the reference (32-bit-only buffers, `src/shaders/RadixSort.ts`):
+`ops/sort64.py` runs 64-bit keys as (hi, lo) u32 columns through the same
+engines via the bitonic engine's lexicographic column tuples
+(`ops/bitonic.py _lex_lt`). Requires jax x64 mode for the input dtype —
+enabled module-scoped here, with cache clears so no 32-bit test's compiled
+pipelines leak across the mode switch.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_radix_sort as trs
+from tpu_radix_sort.models.golden import golden_sort, golden_is_sorted
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64_mode():
+    jax.config.update("jax_enable_x64", True)
+    jax.clear_caches()
+    yield
+    jax.config.update("jax_enable_x64", False)
+    jax.clear_caches()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260818)
+
+
+def _u64_keys(rng, n, dup_hi=True):
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    if dup_hi:
+        # duplicate hi words so the (hi, lo) lexicographic chain is decisive
+        k[: n // 2] = (k[: n // 2] & np.uint64(0xFFFFFFFF)) | (
+            np.uint64(0xABCD1234) << np.uint64(32)
+        )
+    return k
+
+
+def test_u64_keys_only(rng):
+    for n, br in ((500, None), (3000, 4)):
+        k = _u64_keys(rng, n)
+        out = trs.sort(jnp.asarray(k), block_rows=br)
+        assert out.dtype == jnp.uint64
+        np.testing.assert_array_equal(np.asarray(out), golden_sort(k))
+
+
+def test_u64_key_value_generic_and_ranks(rng):
+    n = 900
+    k = _u64_keys(rng, n)
+    # all-equal run: stability must come from the tie-break
+    k[100:200] = k[100]
+    v = np.arange(n, dtype=np.uint32)
+    kj, vj = jnp.asarray(k), jnp.asarray(v)
+    rk, rv = golden_sort(k, v)
+    for ranks in (False, True):
+        ok, ov = trs.sort(kj, vj, values_are_ranks=ranks)
+        np.testing.assert_array_equal(np.asarray(ok), rk, err_msg=str(ranks))
+        np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=str(ranks))
+
+
+def test_u64_bit_counts_descending_count(rng):
+    n = 600
+    k = _u64_keys(rng, n, dup_hi=False)
+    v = np.arange(n, dtype=np.uint32)
+    kj, vj = jnp.asarray(k), jnp.asarray(v)
+    for bc in (16, 32, 40, 60):  # lo-only and two-column masked views
+        ok, ov = trs.sort(kj, vj, bit_count=bc)
+        rk, rv = golden_sort(k, v, bit_count=bc)
+        np.testing.assert_array_equal(np.asarray(ok), rk, err_msg=str(bc))
+        np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=str(bc))
+    c = 2 * n // 3
+    okd = trs.sort(kj, descending=True, count=c)
+    np.testing.assert_array_equal(
+        np.asarray(okd), golden_sort(k, descending=True, count=c))
+
+
+def test_i64_f64_bit_pattern_and_total_order(rng):
+    n = 500
+    i = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    f = (rng.random(n) - 0.5) * 1e9
+    for arr in (i, f):
+        aj = jnp.asarray(arr)
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(aj)), golden_sort(arr))
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(aj, total_order=True)),
+            np.sort(arr, kind="stable"))
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(aj, total_order=True, descending=True)),
+            np.sort(arr, kind="stable")[::-1])
+
+
+def test_u64_engines_agree(rng):
+    n = 700
+    k = _u64_keys(rng, n)
+    v = np.arange(n, dtype=np.uint32)
+    kj, vj = jnp.asarray(k), jnp.asarray(v)
+    rk, rv = golden_sort(k, v)
+    for m in ("xla", "radix"):
+        ok, ov = trs.sort(kj, vj, method=m)
+        np.testing.assert_array_equal(np.asarray(ok), rk, err_msg=m)
+        np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=m)
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, bit_count=40, method=m)),
+            golden_sort(k, bit_count=40), err_msg=m)
+
+
+def test_u64_check_order_gate_fires(rng, monkeypatch):
+    """Sorted input must take the passthrough branch: poison the engine so
+    only a fired gate can produce the right answer (the same poison pattern
+    as the mesh gate tests)."""
+    from tpu_radix_sort.ops import sort64
+
+    n = 800
+    k = _u64_keys(rng, n)
+    ks = golden_sort(k)
+    out = trs.sort(jnp.asarray(k), check_order=True)
+    np.testing.assert_array_equal(np.asarray(out), ks)  # unsorted: sorts
+
+    real = sort64._engine_sort64
+
+    def poisoned(key_cols, payloads, **kw):
+        kc, ps = real(key_cols, payloads, **kw)
+        return tuple(c ^ jnp.uint32(0xDEADBEEF) for c in kc), ps
+
+    monkeypatch.setattr(sort64, "_engine_sort64", poisoned)
+    # _sort_jit64 is jitted: drop the cached clean pipeline so the poisoned
+    # engine actually enters the new trace (and clear again afterwards so
+    # no poisoned executable leaks into later tests)
+    jax.clear_caches()
+    try:
+        out_s = trs.sort(jnp.asarray(ks), check_order=True)
+        np.testing.assert_array_equal(np.asarray(out_s), ks)  # gate fired
+        out_u = trs.sort(jnp.asarray(k), check_order=True)
+        assert not np.array_equal(np.asarray(out_u), ks)  # poison visible
+    finally:
+        jax.clear_caches()
+
+
+def test_u64_order_checks(rng):
+    n = 600
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    ks = golden_sort(k)
+    assert bool(trs.is_sorted(jnp.asarray(ks)))
+    assert not bool(trs.is_sorted(jnp.asarray(k)))
+    assert int(trs.disorder_count(jnp.asarray(ks))) == 0
+    assert int(trs.disorder_count(jnp.asarray(k))) == int(
+        np.sum(k[:-1] > k[1:]))
+    c = n // 2
+    assert int(trs.disorder_count(jnp.asarray(k), count=c)) == int(
+        np.sum(k[: c - 1] > k[1:c]))
+    assert bool(trs.is_sorted(jnp.asarray(k), bit_count=4)) == golden_is_sorted(
+        k, bit_count=4)
+
+
+def test_u64_order_check_pallas_path(rng):
+    # above PALLAS_MIN_ELEMENTS: the two-column streaming kernel runs,
+    # incl. the non-multiple sentinel pad and the block-boundary carry
+    m = 300_000
+    big = np.sort(rng.integers(0, 2**64, m, dtype=np.uint64))
+    assert bool(trs.is_sorted(jnp.asarray(big)))
+    big[m // 2] = 0
+    assert int(trs.disorder_count(jnp.asarray(big))) == int(
+        np.sum(big[:-1] > big[1:]))
+
+
+def test_u64_fold2_fast_path(rng, monkeypatch):
+    """u64 keys-only is a 2-column (hi, lo) tuple — the same fast path as
+    the stable (key, rank) fold2; byte-exactness with the flag forced on."""
+    from tpu_radix_sort.ops import bitonic
+
+    monkeypatch.setattr(bitonic, "USE_FOLD2_CE", True)
+    n = 900
+    k = _u64_keys(rng, n)
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort(jnp.asarray(k))), golden_sort(k))
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort(jnp.asarray(k), descending=True)),
+        golden_sort(k, descending=True))
+
+
+def test_u64_validation():
+    k = jnp.zeros(8, jnp.uint64)
+    with pytest.raises(ValueError):
+        trs.sort(k, bit_count=65)
+    with pytest.raises(ValueError):
+        trs.sort(k, bit_count=6)
+    with pytest.raises(TypeError):
+        trs.sort(k, jnp.zeros(8, jnp.uint64))  # 64-bit values unsupported
+    with pytest.raises(ValueError):
+        trs.sort(k, count=9)

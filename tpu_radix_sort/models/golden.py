@@ -42,12 +42,25 @@ def _bit_pattern_u32(keys: np.ndarray) -> np.ndarray:
     raise TypeError(f"unsupported key dtype {keys.dtype}; expected uint32/float32/int32")
 
 
+def _bit_pattern_u64(keys: np.ndarray) -> np.ndarray:
+    """64-bit keys' sorted-by bit pattern (repo extension: reference
+    semantics — order by the raw bit pattern — lifted one word wider)."""
+    keys = np.asarray(keys)
+    if keys.dtype == np.uint64:
+        return keys
+    return keys.view(np.uint64)
+
+
+def _is_64bit(keys: np.ndarray) -> bool:
+    return np.asarray(keys).dtype in (np.uint64, np.int64, np.float64)
+
+
 def golden_sort(
     keys: np.ndarray,
     values: np.ndarray | None = None,
     *,
     count: int | None = None,
-    bit_count: int = 32,
+    bit_count: int | None = None,
     descending: bool = False,
 ):
     """Reference-semantics sort. Returns (keys, values) or keys if values is None.
@@ -61,12 +74,29 @@ def golden_sort(
     n = keys.shape[0] if count is None else int(count)
     if not (0 <= n <= keys.shape[0]):
         raise ValueError(f"count {n} out of range for buffer of {keys.shape[0]}")
-    if not (4 <= bit_count <= 32) or bit_count % 4 != 0:
-        # reference: bit_count must be a multiple of 4 in [4, 32] (README.md:97)
-        raise ValueError("bit_count must be a multiple of 4 in [4, 32]")
+    wide = _is_64bit(keys)
+    hi_bit = 64 if wide else 32
+    if bit_count is None:
+        bit_count = hi_bit  # default follows the key width (like trs.sort)
+    if not (4 <= bit_count <= hi_bit) or bit_count % 4 != 0:
+        # reference: bit_count must be a multiple of 4 in [4, 32]
+        # (README.md:97); 64-bit keys extend the range to [4, 64]
+        raise ValueError(f"bit_count must be a multiple of 4 in [4, {hi_bit}]")
 
-    u = _bit_pattern_u32(keys)
-    mask = np.uint32(0xFFFFFFFF) if bit_count == 32 else np.uint32((1 << bit_count) - 1)
+    if wide:
+        u = _bit_pattern_u64(keys)
+        mask = (
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+            if bit_count == 64
+            else np.uint64((1 << bit_count) - 1)
+        )
+    else:
+        u = _bit_pattern_u32(keys)
+        mask = (
+            np.uint32(0xFFFFFFFF)
+            if bit_count == 32
+            else np.uint32((1 << bit_count) - 1)
+        )
     mk = u[:n] & mask
     if descending:
         mk = mk ^ mask
@@ -100,15 +130,31 @@ def golden_prefix_sum(items: np.ndarray, *, count: int | None = None) -> np.ndar
     return out
 
 
-def golden_is_sorted(keys: np.ndarray, *, count: int | None = None, bit_count: int = 32) -> bool:
+def golden_is_sorted(keys: np.ndarray, *, count: int | None = None,
+                     bit_count: int | None = None) -> bool:
     """Adjacent-pair order check over the sorted-by bit pattern.
 
     Mirrors the check-sort reduction: disorder = sum of (k[i] > k[i+1])
-    (``src/shaders/CheckSort.ts:102-113``).
+    (``src/shaders/CheckSort.ts:102-113``). 64-bit key dtypes check the
+    u64 bit pattern (bit_count then defaults to 64).
     """
     keys = np.asarray(keys)
     n = keys.shape[0] if count is None else int(count)
-    u = _bit_pattern_u32(keys)[:n]
-    mask = np.uint32(0xFFFFFFFF) if bit_count == 32 else np.uint32((1 << bit_count) - 1)
+    if _is_64bit(keys):
+        bit_count = 64 if bit_count is None else bit_count
+        u = _bit_pattern_u64(keys)[:n]
+        mask = (
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+            if bit_count == 64
+            else np.uint64((1 << bit_count) - 1)
+        )
+    else:
+        bit_count = 32 if bit_count is None else bit_count
+        u = _bit_pattern_u32(keys)[:n]
+        mask = (
+            np.uint32(0xFFFFFFFF)
+            if bit_count == 32
+            else np.uint32((1 << bit_count) - 1)
+        )
     u = u & mask
     return bool(np.all(u[:-1] <= u[1:])) if n > 1 else True

@@ -98,34 +98,42 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def _lt_tuple(a_k, a_i, b_k, b_i, stable):
-    """Lexicographic (key[, idx]) less-than. With stable, tuples are distinct."""
-    if stable:
-        return (a_k < b_k) | ((a_k == b_k) & (a_i < b_i))
-    return a_k < b_k
+def _lex_lt(a_cols, b_cols):
+    """Strict lexicographic less-than over parallel column tuples.
+
+    One column: plain compare. k columns: 3 extra vector ops per column,
+    chained from the least-significant column up. This is how 64-bit keys
+    ride the u32 engine — as (hi, lo[, tie]) column tuples — and how the
+    stability tie-break has always worked ((key, idx) is the 2-column case).
+    """
+    lt = a_cols[-1] < b_cols[-1]
+    for a, b in zip(reversed(a_cols[:-1]), reversed(b_cols[:-1])):
+        lt = (a < b) | ((a == b) & lt)
+    return lt
 
 
-def _ce_sublane(arrs, stable, up, j, kernel_rows):
+def _ce_sublane(arrs, n_keys, distinct, up, j, kernel_rows):
     """Compare-exchange at sublane stride j >= 128 via reshape + slicing.
 
     View (R, 128) as (G, 2, m, 128) with m = j/128: pair halves are the
     axis-1 slices — contiguous sublane slices, so the exchange is pure
     min/max-style selects with no rolls, no partner masks. `up` is a scalar
     bool or a (G, 1, 1) mask (direction constant within a pair group because
-    k >= 2j).
+    k >= 2j). `n_keys` leading arrays form the lexicographic compare tuple;
+    `distinct` promises equal tuples are byte-identical across ALL arrays
+    (so their exchanges need no three-way decision).
     """
     m = j // LANES
     g = kernel_rows // (2 * m)
     r4 = tuple(a.reshape(g, 2, m, LANES) for a in arrs)
     x0 = tuple(r[:, 0] for r in r4)
     x1 = tuple(r[:, 1] for r in r4)
-    if stable:
-        lt10 = _lt_tuple(x1[0], x1[1], x0[0], x0[1], True)
-        # distinct tuples: lt01 == ~lt10
+    lt10 = _lex_lt(x1[:n_keys], x0[:n_keys])
+    if distinct:
+        # distinct (or byte-identical) tuples: lt01 == ~lt10 up to no-ops
         swap = (up & lt10) | (~up & ~lt10)
     else:
-        lt10 = x1[0] < x0[0]
-        lt01 = x0[0] < x1[0]
+        lt01 = _lex_lt(x0[:n_keys], x1[:n_keys])
         swap = (up & lt10) | (~up & lt01)
     new0 = tuple(jnp.where(swap, b, a) for a, b in zip(x0, x1))
     new1 = tuple(jnp.where(swap, a, b) for a, b in zip(x0, x1))
@@ -135,12 +143,14 @@ def _ce_sublane(arrs, stable, up, j, kernel_rows):
     )
 
 
-def _ce_roll(arrs, stable, up, j, rid, cid):
+def _ce_roll(arrs, n_keys, distinct, up, j, rid, cid):
     """Compare-exchange at stride j via cyclic rolls (any j).
 
     partner[i] = x[i ^ j]: one fwd and one bwd roll selected by the pair-bit
     mask — a sublane roll for j >= 128, a lane roll below. `up` is a scalar
-    bool or full-shape mask. rid/cid are hoisted row/lane iotas.
+    bool or full-shape mask. rid/cid are hoisted row/lane iotas. `n_keys`
+    leading arrays form the lexicographic compare tuple; `distinct` as in
+    :func:`_ce_sublane`.
     """
     if j >= LANES:
         m = j // LANES
@@ -158,26 +168,22 @@ def _ce_roll(arrs, stable, up, j, rid, cid):
         partners = tuple(
             jnp.where(first, _roll(a, -j, 1), _roll(a, j, 1)) for a in arrs
         )
-    e_k, p_k = arrs[0], partners[0]
     # take partner's tuple iff (first == up) ? p<e : p>e. Expressed as XOR
     # chains (Mosaic cannot lower i1 == i1; XOR is the cheap equivalent).
     diff = first ^ up
-    if stable:
-        # tuples are distinct: p>e == !(p<e), so a single lexicographic
+    p_lt_e = _lex_lt(partners[:n_keys], arrs[:n_keys])
+    if distinct:
+        # tuples are distinct (or equal tuples are byte-identical, so their
+        # exchange is a no-op): p>e == !(p<e) and a single lexicographic
         # compare feeds the whole decision: take = first ^ up ^ (p<e).
         # (The select form `where(eq, idx-lt, key-lt)` would be one op
         # fewer, but Mosaic cannot lower an i1-valued select: "Unsupported
         # target bitwidth for truncation" i8->i1, measured 2026-08-16.)
-        p_lt_e = (p_k < e_k) | ((e_k == p_k) & (partners[1] < arrs[1]))
         take_partner = diff ^ p_lt_e
-    elif len(arrs) == 1:
-        # keys-only: swapping an equal pair is byte-identical (same value
-        # both sides), so the strict three-way decision collapses to the
-        # same 2-op XOR chain as the stable path
-        take_partner = diff ^ (p_k < e_k)
     else:
         # equal keys with co-moving payloads: neither side moves
-        take_partner = ((p_k < e_k) & ~diff) | ((p_k > e_k) & diff)
+        p_gt_e = _lex_lt(arrs[:n_keys], partners[:n_keys])
+        take_partner = (p_lt_e & ~diff) | (p_gt_e & diff)
     return tuple(jnp.where(take_partner, p, e) for e, p in zip(arrs, partners))
 
 
@@ -237,8 +243,8 @@ def _ce_roll_fold2(y, s, j, rid, cid):
     return jax.lax.bitcast_convert_type(out_y, jnp.uint32), out_s
 
 
-def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
-                   dyn_k, transpose_lanes=True):
+def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
+                   kernel_rows, dyn_k, transpose_lanes=True):
     """Run `stages` = [(k, j_local)] on one VMEM block of (kernel_rows, 128).
 
     Direction for stage (k, j): up(i) = ((base + local) & k) == 0 — the exact
@@ -257,10 +263,11 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
     arrs = tuple(r[:].reshape(kernel_rows, LANES) for r in ins)
     # keys-only fast path: fold sign bias + per-round direction into the
     # data by XOR and run every CE as signed min/max (see USE_MINMAX_CE)
-    fast = USE_MINMAX_CE and not stable and n_arr == 1
-    # stable (key, rank) fast path: fold direction into BOTH arrays so the
-    # key CE is pure min/max and only the rank pays the tuple compare
-    fast2 = USE_FOLD2_CE and stable and n_arr == 2
+    fast = USE_MINMAX_CE and n_keys == 1 and n_arr == 1
+    # 2-column fast path — stable (key, rank) or keys-only 64-bit (hi, lo):
+    # fold direction into BOTH arrays so the leading column's CE is pure
+    # min/max and only the second column pays the tuple compare
+    fast2 = USE_FOLD2_CE and distinct and n_keys == 2 and n_arr == 2
     shape = (kernel_rows, LANES)
     # hoist the index planes: one iota pair per kernel, not per stage
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -335,16 +342,16 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
         elif transposed:
             # lane stride j -> sublane stride of j rows on the transposed
             # view; first-mask bit j now lives in rid_t
-            arrs = _ce_roll(arrs, stable, up, j * LANES, rid_t, cid_t)
+            arrs = _ce_roll(arrs, n_keys, distinct, up, j * LANES, rid_t, cid_t)
         elif k is not None and j >= LANES and USE_SLICING_CE:
             # slicing CE wants a (G,1,1) direction mask (constant per pair
             # group since k >= 2j), not the full-shape one
             g = kernel_rows * LANES // (2 * j)
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0)
             up_g = ((base + g_iota * (2 * j)) & k) == 0
-            arrs = _ce_sublane(arrs, stable, up_g, j, kernel_rows)
+            arrs = _ce_sublane(arrs, n_keys, distinct, up_g, j, kernel_rows)
         else:
-            arrs = _ce_roll(arrs, stable, up, j, rid, cid)
+            arrs = _ce_roll(arrs, n_keys, distinct, up, j, rid, cid)
     if transposed:
         arrs = tuple(jnp.transpose(a) for a in arrs)
     if fast and prev[0] is not _unset:
@@ -360,9 +367,15 @@ def _stages_kernel(refs, *, n_arr, stable, stages, base_scale, kernel_rows,
 
 
 def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_scale,
-                 kernel_rows, block_elems, interpret, dyn_k=None):
+                 kernel_rows, block_elems, interpret, dyn_k=None, n_keys=None):
     del block_elems  # direction now uses the exact global-index formula
     n_arr = len(arrs)
+    if n_keys is None:
+        n_keys = 2 if stable else 1  # (key, idx-tie) vs plain key
+    # equal compare-tuples are byte-identical when every array is in the
+    # tuple (keys-only, incl. multi-column 64-bit keys) or when `stable`
+    # promises distinct tuples — either way no three-way decision is needed
+    distinct = stable or n_keys == n_arr
     per_call = max(8, MAX_ARRAY_STAGES_PER_CALL // n_arr)
     if len(stages) > per_call:
         for i in range(0, len(stages), per_call):
@@ -371,12 +384,14 @@ def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_sca
                 grid=grid, block_shape=block_shape, index_map=index_map,
                 base_scale=base_scale, kernel_rows=kernel_rows,
                 block_elems=None, interpret=interpret, dyn_k=dyn_k,
+                n_keys=n_keys,
             )
         return arrs
     kern = functools.partial(
         _stages_kernel,
         n_arr=n_arr,
-        stable=stable,
+        n_keys=n_keys,
+        distinct=distinct,
         stages=stages,
         base_scale=base_scale,
         kernel_rows=kernel_rows,
@@ -431,17 +446,21 @@ def _block_stages(k_lo, k_hi, j_hi_of_k=None):
     return stages
 
 
-def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
-    """Sort tuple of u32 arrays by (arrs[0][, arrs[1] if stable]) ascending.
+def sort_padded(arrs, *, stable, block_rows=None, interpret=None,
+                n_keys=None):
+    """Sort tuple of u32 arrays lexicographically by the leading `n_keys`
+    columns, ascending (default n_keys: 2 when `stable` — (key, tie) — else
+    1). Multi-word keys (e.g. 64-bit as (hi, lo)) are extra key columns.
 
     Arrays must be 1-D u32 of identical power-of-two length >= 128 (pad with
     0xFFFFFFFF sentinels upstream; they sort to the tail). Returns the arrays
-    co-permuted. When `stable`, arrs[1] is the tie-break: real elements'
-    (arrs[0], arrs[1]) tuples must be pairwise distinct (e.g. a unique index
-    or a strictly-increasing rank payload). Sentinel pad elements may share
-    the tuple (SENTINEL, SENTINEL) ONLY if they are identical across ALL
-    arrays — equal-tuple exchanges then resolve arbitrarily but are byte
-    no-ops (the rank-payload path in ops/sort.py relies on this).
+    co-permuted. When `stable`, the last key column is the tie-break: real
+    elements' key tuples must be pairwise distinct (e.g. a unique index
+    or a strictly-increasing rank payload). Elements sharing a full key
+    tuple are allowed ONLY if they are identical across ALL arrays (e.g.
+    sentinel pads, or keys-only sorts where the tuple IS the data) —
+    equal-tuple exchanges then resolve arbitrarily but are byte no-ops
+    (the rank-payload path in ops/sort.py relies on this).
     """
     if interpret is None:
         interpret = common.default_interpret()
@@ -471,6 +490,7 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
             block_elems=T,
             interpret=interpret,
             dyn_k=dyn_k,
+            n_keys=n_keys,
         )
 
     # Phase 1: fully sort each tile (alternating directions via the global
@@ -483,13 +503,15 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None):
         x = _merge_round(
             x, k, n=n, rows=rows, tile_rows=tile_rows, T=T,
             stable=stable, run_contig=run_contig, interpret=interpret,
+            n_keys=n_keys,
         )
         k *= 2
 
     return tuple(a.reshape(n) for a in x)
 
 
-def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
+def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret,
+                 n_keys=None):
     """One bitonic merge round k: strides k/2 .. 1 over (rows, 128) arrays.
 
     The round constant k is passed to the kernels as a scalar operand
@@ -529,6 +551,7 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
             block_elems=kernel_rows * LANES,
             interpret=interpret,
             dyn_k=k,
+            n_keys=n_keys,
         )
         x = tuple(a.reshape(rows, LANES) for a in x4)
         j = j_lo // 2
@@ -538,11 +561,12 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret):
     return x
 
 
-def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
+def merge_padded(arrs, *, stable, block_rows=None, interpret=None,
+                 n_keys=None):
     """Sort a *bitonic* tuple of u32 arrays ascending (one bitonic merge).
 
-    Same contract as :func:`sort_padded` but the input arrs[0] (with arrs[1]
-    tie-break when stable) must already form a bitonic sequence — e.g. the
+    Same contract as :func:`sort_padded` but the input key tuple (leading
+    `n_keys` columns) must already form a bitonic sequence — e.g. the
     min/max halves of a compare-split between two sorted shards (see
     ``parallel/mesh_sort.py``). Runs only the merge network: strides n/2..1,
     uniformly ascending — log2(n) compare-exchange stages instead of the full
@@ -575,6 +599,7 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
             block_elems=T,
             interpret=interpret,
             dyn_k=dyn_k,
+            n_keys=n_keys,
         )
 
     # Round k = n: every local index i < n has (i & n) == 0, so the direction
@@ -582,11 +607,13 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None):
     x = _merge_round(
         x, n, n=n, rows=rows, tile_rows=tile_rows, T=T,
         stable=stable, run_contig=run_contig, interpret=interpret,
+        n_keys=n_keys,
     )
     return tuple(a.reshape(n) for a in x)
 
 
-def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None):
+def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None,
+                      n_keys=None):
     """Complete a bitonic sort whose rounds k <= `run` are already done.
 
     Input: pow2-length u32 arrays (same contract as :func:`sort_padded`)
@@ -631,6 +658,7 @@ def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None):
             block_elems=T,
             interpret=interpret,
             dyn_k=dyn_k,
+            n_keys=n_keys,
         )
 
     # rounds k <= T are intra-tile (max stride k/2 < T, segments align within
@@ -644,6 +672,7 @@ def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None):
         x = _merge_round(
             x, k, n=n, rows=rows, tile_rows=tile_rows, T=T,
             stable=stable, run_contig=run_contig, interpret=interpret,
+            n_keys=n_keys,
         )
         k *= 2
     return tuple(a.reshape(n) for a in x)

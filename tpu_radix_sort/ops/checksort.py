@@ -85,6 +85,112 @@ def _disorder_pallas(u2d, *, interpret):
     )(u2d)[0]
 
 
+def _disorder_kernel2(a_ref, b_ref, o_ref, acc, *, rows):
+    """Two-column (lexicographic) variant of :func:`_disorder_kernel` —
+    64-bit keys travel as (hi, lo) u32 columns (ops/sort64.py), and an
+    inversion is `(hi, lo)[i] > (hi, lo)[i+1]` on the pair."""
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        acc[0] = jnp.uint32(0)
+
+    a = a_ref[:]
+    b = b_ref[:]
+
+    def nxt(x):
+        n1 = pltpu.roll(x, LANES - 1, axis=1)
+        return n1, pltpu.roll(n1, rows - 1, axis=0)
+
+    na, na_rows = nxt(a)
+    nb, nb_rows = nxt(b)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    na = jnp.where(lane < LANES - 1, na, na_rows)
+    nb = jnp.where(lane < LANES - 1, nb, nb_rows)
+    valid = (lane < LANES - 1) | (rid < rows - 1)
+    bad = ((a > na) | ((a == na) & (b > nb))) & valid
+    prev_a, prev_b = acc[1], acc[2]
+    first_gt = (prev_a > a[0, 0]) | ((prev_a == a[0, 0]) & (prev_b > b[0, 0]))
+    boundary = jnp.where(blk > 0, first_gt.astype(jnp.uint32), jnp.uint32(0))
+    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.int32)).astype(jnp.uint32) + boundary
+    acc[1] = a[rows - 1, LANES - 1]
+    acc[2] = b[rows - 1, LANES - 1]
+    o_ref[0] = acc[0]
+
+
+def _disorder_pallas2(a2d, b2d, *, interpret):
+    rows = a2d.shape[0]
+    block = min(rows, BLOCK_ROWS)
+    spec = pl.BlockSpec((block, LANES), lambda b: (b, 0))
+    return pl.pallas_call(
+        functools.partial(_disorder_kernel2, rows=block),
+        grid=(rows // block,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
+        scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
+        interpret=interpret,
+    )(a2d, b2d)[0]
+
+
+def disorder_count_cols(cols, *, interpret=None) -> jax.Array:
+    """Adjacent inversions of the lexicographic column tuple (1 or 2 u32
+    columns — the plain and 64-bit key views). Pallas for large inputs,
+    XLA reduction below the kernel-launch floor."""
+    if len(cols) == 1:
+        return disorder_count(cols[0], interpret=interpret)
+    a, b = cols
+    n = a.shape[0]
+    if n < 2:
+        return jnp.uint32(0)
+    if interpret is None:
+        interpret = common.default_interpret()
+    if n >= PALLAS_MIN_ELEMENTS:
+        n_pad = common.round_up(n, BLOCK_ROWS * LANES)
+        a = common.pad_to(a, n_pad, common.SENTINEL_U32)
+        b = common.pad_to(b, n_pad, common.SENTINEL_U32)
+        return _disorder_pallas2(
+            a.reshape(-1, LANES), b.reshape(-1, LANES), interpret=interpret
+        )
+    gt = (a[:-1] > a[1:]) | ((a[:-1] == a[1:]) & (b[:-1] > b[1:]))
+    return jnp.sum(gt.astype(jnp.uint32))
+
+
+def is_sorted_cols(cols, *, interpret=None) -> jax.Array:
+    """Fast-gated order check on a lexicographic column tuple (the 64-bit
+    analogue of :func:`is_sorted`; same fast-window-then-rest structure)."""
+    if len(cols) == 1:
+        u = cols[0]
+        n = u.shape[0]
+        f = min(n, FAST_CHECK_ELEMENTS)
+        fast_ok = disorder_count(u[:f], interpret=interpret) == 0
+        if f >= n:
+            return fast_ok
+        return jax.lax.cond(
+            fast_ok,
+            lambda: disorder_count(
+                jax.lax.slice(u, (f - 1,), (n,)), interpret=interpret
+            ) == 0,
+            lambda: jnp.bool_(False),
+        )
+    a, b = cols
+    n = a.shape[0]
+    f = min(n, FAST_CHECK_ELEMENTS)
+    fast_ok = disorder_count_cols((a[:f], b[:f]), interpret=interpret) == 0
+    if f >= n:
+        return fast_ok
+    return jax.lax.cond(
+        fast_ok,
+        lambda: disorder_count_cols(
+            (jax.lax.slice(a, (f - 1,), (n,)),
+             jax.lax.slice(b, (f - 1,), (n,))),
+            interpret=interpret,
+        ) == 0,
+        lambda: jnp.bool_(False),
+    )
+
+
 def _as_check_key(u: jax.Array, bit_count: int) -> jax.Array:
     """Map keys to the masked u32 bit pattern the order check compares.
 
@@ -99,8 +205,19 @@ def _as_check_key(u: jax.Array, bit_count: int) -> jax.Array:
     return u
 
 
+def _as_check_key_cols(u: jax.Array, bit_count: int):
+    """64-bit keys' check view: masked (hi, lo) u32 columns ((lo,) alone
+    when bit_count <= 32 — the hi column is all-zero then)."""
+    common.validate_bit_count_64(bit_count)
+    hi, lo = common.to_sortable_u64_cols(u)
+    mask_hi, mask_lo = common.bit_mask_cols(bit_count)
+    if bit_count <= 32:
+        return (lo & mask_lo,)
+    return (hi & mask_hi, lo & mask_lo)
+
+
 def disorder_count(
-    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None,
+    u: jax.Array, *, count=None, bit_count: int | None = None, interpret=None,
     mesh=None, axis_name: str = "x",
 ) -> jax.Array:
     """Number of adjacent inversions in the first `count` keys (0 == sorted).
@@ -123,6 +240,18 @@ def disorder_count(
             u, mesh=mesh, axis_name=axis_name, count=count,
             bit_count=bit_count, interpret=interpret,
         )
+    u = jnp.asarray(u)
+    if common.is_64bit_key_dtype(u.dtype):
+        cols = _as_check_key_cols(u, 64 if bit_count is None else bit_count)
+        if count is not None:
+            count = int(count)
+            if not (0 <= count <= u.shape[0]):
+                raise ValueError(
+                    f"count {count} out of range for buffer of {u.shape[0]}"
+                )
+            cols = tuple(c[:count] for c in cols)
+        return disorder_count_cols(cols, interpret=interpret)
+    bit_count = 32 if bit_count is None else bit_count
     common.validate_bit_count(bit_count)
     u = _as_check_key(u, bit_count)
     if count is not None:
@@ -146,7 +275,7 @@ def disorder_count(
 
 
 def is_sorted(
-    u: jax.Array, *, count=None, bit_count: int = 32, interpret=None,
+    u: jax.Array, *, count=None, bit_count: int | None = None, interpret=None,
     mesh=None, axis_name: str = "x",
 ) -> jax.Array:
     """Fast-gated full order check, mirroring the reference's two-phase check.
@@ -168,6 +297,18 @@ def is_sorted(
             u, mesh=mesh, axis_name=axis_name, count=count,
             bit_count=bit_count, interpret=interpret,
         )
+    u = jnp.asarray(u)
+    if common.is_64bit_key_dtype(u.dtype):
+        cols = _as_check_key_cols(u, 64 if bit_count is None else bit_count)
+        if count is not None:
+            count = int(count)
+            if not (0 <= count <= u.shape[0]):
+                raise ValueError(
+                    f"count {count} out of range for buffer of {u.shape[0]}"
+                )
+            cols = tuple(c[:count] for c in cols)
+        return is_sorted_cols(cols, interpret=interpret)
+    bit_count = 32 if bit_count is None else bit_count
     common.validate_bit_count(bit_count)
     u = _as_check_key(u, bit_count)
     if count is not None:

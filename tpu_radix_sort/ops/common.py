@@ -17,6 +17,11 @@ import jax.numpy as jnp
 SENTINEL_U32 = jnp.uint32(0xFFFFFFFF)
 
 SUPPORTED_KEY_DTYPES = ("uint32", "float32", "int32")
+# 64-bit key dtypes (extension past the reference, which is 32-bit-only —
+# its WGSL buffers are array<u32>). Requires jax x64 mode for the input
+# array itself; all device code stays u32 (keys travel as (hi, lo) column
+# pairs — 64-bit lanes would halve VPU width on TPU for no benefit).
+SUPPORTED_KEY_DTYPES_64 = ("uint64", "float64", "int64")
 
 
 def is_tpu_backend() -> bool:
@@ -118,6 +123,100 @@ def from_total_order_u32(u: jax.Array, dtype) -> jax.Array:
         flip = jnp.where((u >> 31) == 1, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
         return jax.lax.bitcast_convert_type(u ^ flip, jnp.float32)
     raise TypeError(f"unsupported key dtype {dtype}")
+
+
+def is_64bit_key_dtype(dtype) -> bool:
+    if dtype is None:  # e.g. getattr(list_input, "dtype", None)
+        return False
+    return jnp.dtype(dtype).name in SUPPORTED_KEY_DTYPES_64
+
+
+def _split_u64(u):
+    """u64 -> (hi, lo) u32 columns. Lexicographic (hi, lo) == u64 order."""
+    hi = jax.lax.convert_element_type(u >> jnp.uint64(32), jnp.uint32)
+    lo = jax.lax.convert_element_type(u & jnp.uint64(0xFFFFFFFF), jnp.uint32)
+    return hi, lo
+
+
+def _join_u64(hi, lo):
+    h = jax.lax.convert_element_type(hi, jnp.uint64)
+    l = jax.lax.convert_element_type(lo, jnp.uint64)
+    return (h << jnp.uint64(32)) | l
+
+
+def to_sortable_u64_cols(keys: jax.Array):
+    """Bit-pattern order as (hi, lo) u32 columns (reference semantics lifted
+    to 64 bits: float64/int64 ordered by their u64 bit pattern — correct for
+    non-negative values, like the reference's float32 contract)."""
+    if keys.dtype == jnp.uint64:
+        return _split_u64(keys)
+    if keys.dtype in (jnp.float64, jnp.int64):
+        return _split_u64(jax.lax.bitcast_convert_type(keys, jnp.uint64))
+    raise TypeError(
+        f"unsupported key dtype {keys.dtype}; expected one of "
+        f"{SUPPORTED_KEY_DTYPES_64}"
+    )
+
+
+def from_sortable_u64_cols(hi, lo, dtype):
+    u = _join_u64(hi, lo)
+    if dtype == jnp.uint64:
+        return u
+    return jax.lax.bitcast_convert_type(u, dtype)
+
+
+def to_total_order_u64_cols(keys: jax.Array):
+    """True total ascending order as (hi, lo) u32 columns: int64 by sign-bit
+    offset, float64 by the sign-flip trick (same mapping as the 32-bit
+    :func:`to_total_order_u32`, one word wider)."""
+    if keys.dtype == jnp.uint64:
+        return _split_u64(keys)
+    if keys.dtype == jnp.int64:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
+        return _split_u64(u ^ jnp.uint64(0x8000000000000000))
+    if keys.dtype == jnp.float64:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
+        flip = jnp.where(
+            (u >> jnp.uint64(63)) == 1,
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+            jnp.uint64(0x8000000000000000),
+        )
+        return _split_u64(u ^ flip)
+    raise TypeError(f"unsupported key dtype {keys.dtype}")
+
+
+def from_total_order_u64_cols(hi, lo, dtype):
+    u = _join_u64(hi, lo)
+    if dtype == jnp.uint64:
+        return u
+    if dtype == jnp.int64:
+        return jax.lax.bitcast_convert_type(
+            u ^ jnp.uint64(0x8000000000000000), jnp.int64
+        )
+    if dtype == jnp.float64:
+        flip = jnp.where(
+            (u >> jnp.uint64(63)) == 1,
+            jnp.uint64(0x8000000000000000),
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        )
+        return jax.lax.bitcast_convert_type(u ^ flip, jnp.float64)
+    raise TypeError(f"unsupported key dtype {dtype}")
+
+
+def bit_mask_cols(bit_count: int):
+    """(hi, lo) u32 masks selecting the low `bit_count` of 64 key bits."""
+    lo = jnp.uint32(0xFFFFFFFF) if bit_count >= 32 else bit_mask(bit_count)
+    hi = bit_mask(bit_count - 32) if bit_count > 32 else jnp.uint32(0)
+    return hi, lo
+
+
+def validate_bit_count_64(bit_count: int) -> None:
+    # 64-bit keys extend the reference constraint to [4, 64]
+    if not (4 <= bit_count <= 64) or bit_count % 4 != 0:
+        raise ValueError(
+            f"bit_count must be a multiple of 4 in [4, 64] for 64-bit keys, "
+            f"got {bit_count}"
+        )
 
 
 def bit_mask(bit_count: int) -> jnp.uint32:

@@ -178,7 +178,7 @@ def sort(
     values=None,
     *,
     count=None,
-    bit_count: int = 32,
+    bit_count: int | None = None,
     check_order: bool = False,
     total_order: bool = False,
     descending: bool = False,
@@ -222,6 +222,11 @@ def sort(
                 f"with mesh=, method must be one of {_MESH_METHODS}, "
                 f"got {method}"
             )
+        if common.is_64bit_key_dtype(getattr(keys, "dtype", None)):
+            raise TypeError(
+                "64-bit keys are single-chip only for now (mesh= given)"
+            )
+        bit_count = 32 if bit_count is None else bit_count
         from .. import parallel  # local import: ops must not require parallel
 
         if method == "auto":
@@ -247,8 +252,28 @@ def sort(
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
+    if common.is_64bit_key_dtype(keys.dtype):
+        # 64-bit keys (extension; needs jax x64 mode so the dtype survives
+        # asarray): (hi, lo) u32 column pair through the same engines —
+        # ops/sort64.py. bit_count defaults to the full key width.
+        from . import sort64
+
+        return sort64.sort64(
+            keys,
+            values,
+            count=count,
+            bit_count=64 if bit_count is None else bit_count,
+            check_order=check_order,
+            total_order=total_order,
+            descending=descending,
+            values_are_ranks=values_are_ranks,
+            method=method,
+            block_rows=block_rows,
+            interpret=interpret,
+        )
     if keys.dtype not in (jnp.uint32, jnp.float32, jnp.int32):
         raise TypeError(f"unsupported key dtype {keys.dtype}")
+    bit_count = 32 if bit_count is None else bit_count
     common.validate_bit_count(bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)

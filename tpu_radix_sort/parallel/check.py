@@ -96,6 +96,7 @@ def _prep_check_input(u, *, count, bit_count, mesh, axis_name):
     checks. Returns (u32 array of length round_up(n, D), count)."""
     from ..ops import common
 
+    bit_count = 32 if bit_count is None else bit_count  # 64-bit: single-chip
     common.validate_bit_count(bit_count)
     u = checksort._as_check_key(u, bit_count)
     n = u.shape[0]
