@@ -61,8 +61,20 @@ def main():
     p.add_argument("--scan", action="store_true",
                    help="also run the distributed prefix sum + order checks "
                         "(prefix_sum/is_sorted/disorder_count with mesh=)")
+    p.add_argument("--dtype", default="uint32",
+                   choices=["uint32", "uint64"],
+                   help="key dtype; uint64 runs the (hi, lo, idx) column "
+                        "tuple through the compare-split strategy "
+                        "(the exchange splitter is 32-bit-only)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    wide = args.dtype == "uint64"
+    if wide and args.strategy == "exchange":
+        p.error("--dtype uint64 supports --strategy mesh (the exchange "
+                "splitter bisection is 32-bit-only)")
+    if wide:
+        jax.config.update("jax_enable_x64", True)
+        args.strategy = "mesh"
 
     cpus = jax.devices("cpu")
     if len(cpus) < args.devices:
@@ -73,7 +85,10 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     if args.skew:
-        keys_np = rng.zipf(1.3, size=args.n).astype(np.uint32)
+        keys_np = rng.zipf(1.3, size=args.n).astype(
+            np.uint64 if wide else np.uint32)
+    elif wide:
+        keys_np = rng.integers(0, 2**64, args.n, dtype=np.uint64)
     else:
         keys_np = rng.integers(0, 2**32, args.n, dtype=np.uint64).astype(np.uint32)
     values_np = np.arange(args.n, dtype=np.uint32) if args.values else None

@@ -183,6 +183,145 @@ def test_u64_fold2_fast_path(rng, monkeypatch):
         golden_sort(k, descending=True))
 
 
+def _mesh8():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:8]), ("x",))
+
+
+def test_u64_mesh_sort(rng):
+    """Distributed 64-bit sort: compare-split network over (hi, lo, idx)
+    column tuples (parallel/mesh_sort.py nk=3). Routed via the public
+    sort(mesh=) entrypoint (auto picks compare-split for wide keys)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    sh = NamedSharding(mesh, P("x"))
+    n = 4096
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    k[: n // 2] = (k[: n // 2] & np.uint64(0xFFFF)) | (
+        np.uint64(7) << np.uint64(32))  # duplicate-heavy: tie-break load
+    v = np.arange(n, dtype=np.uint32)
+    kj = jax.device_put(jnp.asarray(k), sh)
+    vj = jax.device_put(jnp.asarray(v), sh)
+
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort(kj, mesh=mesh)), golden_sort(k))
+    ok, ov = trs.sort(kj, vj, mesh=mesh)
+    rk, rv = golden_sort(k, v)
+    np.testing.assert_array_equal(np.asarray(ok), rk)
+    np.testing.assert_array_equal(np.asarray(ov), rv)
+    ok40, ov40 = trs.sort(kj, vj, mesh=mesh, bit_count=40, descending=True)
+    rk40, rv40 = golden_sort(k, v, bit_count=40, descending=True)
+    np.testing.assert_array_equal(np.asarray(ok40), rk40)
+    np.testing.assert_array_equal(np.asarray(ov40), rv40)
+    c = 3000
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort(kj, mesh=mesh, count=c)), golden_sort(k, count=c))
+    # the exchange splitter is 32-bit-only: must refuse, not mis-sort
+    with pytest.raises(TypeError):
+        trs.sort(kj, mesh=mesh, method="exchange")
+
+
+def test_u64_mesh_checks_and_gate(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    sh = NamedSharding(mesh, P("x"))
+    n = 4096
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    ks = golden_sort(k)
+    kj = jax.device_put(jnp.asarray(k), sh)
+    ksj = jax.device_put(jnp.asarray(ks), sh)
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort(ksj, mesh=mesh, check_order=True)), ks)
+    assert bool(trs.is_sorted(ksj, mesh=mesh))
+    assert not bool(trs.is_sorted(kj, mesh=mesh))
+    assert int(trs.disorder_count(kj, mesh=mesh)) == int(
+        np.sum(k[:-1] > k[1:]))
+    c = n // 3
+    assert int(trs.disorder_count(kj, mesh=mesh, count=c)) == int(
+        np.sum(k[: c - 1] > k[1:c]))
+
+
+@pytest.mark.slow
+def test_u64_breadth_sweep(rng):
+    """Randomized configuration matrix for 64-bit keys (the reference's
+    `example/tests.ts:19-42` sweep shape applied to the extension): drawn
+    n, sub-counts, bit_counts 4..64, dtypes, flags, tile shapes — each
+    byte-exact vs the golden oracle."""
+    for i in range(36):
+        if i % 9 == 0:
+            jax.clear_caches()
+        n = int(rng.integers(150, 2500))
+        count = n if rng.random() < 0.5 else int(rng.integers(0, n + 1))
+        bit_count = int(rng.choice([4, 16, 32, 36, 48, 64, 64]))
+        dtype = str(rng.choice(["uint64", "uint64", "int64", "float64"]))
+        descending = rng.random() < 0.2
+        check_order = rng.random() < 0.2
+        with_values = rng.random() < 0.5
+        ranks = with_values and rng.random() < 0.5
+        block_rows = int(rng.choice([4, 16, 64])) if rng.random() < 0.4 else None
+        total_order = bit_count == 64 and rng.random() < 0.2
+
+        if dtype == "uint64":
+            k = rng.integers(0, 2**64, n, dtype=np.uint64)
+            if rng.random() < 0.3:  # hi-word duplicates: column-chain edge
+                k = (k & np.uint64(0xFFFF)) | (np.uint64(3) << np.uint64(32))
+        elif dtype == "int64":
+            k = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+        else:
+            k = ((rng.random(n) - 0.5) * 1e12)
+
+        cfg = (i, n, count, bit_count, dtype, descending, check_order,
+               with_values, ranks, block_rows, total_order)
+        kj = jnp.asarray(k)
+        kwargs = dict(count=count, bit_count=bit_count, descending=descending,
+                      check_order=check_order, block_rows=block_rows,
+                      total_order=total_order)
+
+        if total_order:
+            # exact numeric-order oracle: monotone map to u64, complement
+            # for descending (exact reversal — no unsigned-negate wrap or
+            # INT64_MIN edge)
+            seg = k[:count]
+            if dtype == "uint64":
+                u = seg.copy()
+            elif dtype == "int64":
+                u = seg.view(np.uint64) ^ np.uint64(1 << 63)
+            else:
+                b = seg.view(np.uint64)
+                flip = np.where(b >> np.uint64(63) == 1,
+                                np.uint64(0xFFFFFFFFFFFFFFFF),
+                                np.uint64(1 << 63))
+                u = b ^ flip
+            order = np.argsort(~u if descending else u, kind="stable")
+            rk = k.copy()
+            rk[:count] = seg[order]
+        else:
+            order = None
+
+        if with_values:
+            v = np.arange(n, dtype=np.uint32)
+            ok, ov = trs.sort(kj, jnp.asarray(v), values_are_ranks=ranks,
+                              **kwargs)
+            if total_order:
+                rv = v.copy()
+                rv[:count] = v[:count][order]
+            else:
+                rk, rv = golden_sort(k, v, count=count, bit_count=bit_count,
+                                     descending=descending)
+            np.testing.assert_array_equal(np.asarray(ok), rk, err_msg=str(cfg))
+            np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=str(cfg))
+        else:
+            out = trs.sort(kj, **kwargs)
+            if not total_order:
+                rk = golden_sort(k, count=count, bit_count=bit_count,
+                                 descending=descending)
+            np.testing.assert_array_equal(np.asarray(out), rk, err_msg=str(cfg))
+    jax.clear_caches()
+
+
 def test_u64_validation():
     k = jnp.zeros(8, jnp.uint64)
     with pytest.raises(ValueError):

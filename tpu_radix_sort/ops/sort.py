@@ -222,18 +222,23 @@ def sort(
                 f"with mesh=, method must be one of {_MESH_METHODS}, "
                 f"got {method}"
             )
-        if common.is_64bit_key_dtype(getattr(keys, "dtype", None)):
-            raise TypeError(
-                "64-bit keys are single-chip only for now (mesh= given)"
-            )
-        bit_count = 32 if bit_count is None else bit_count
+        wide = common.is_64bit_key_dtype(getattr(keys, "dtype", None))
         from .. import parallel  # local import: ops must not require parallel
 
         if method == "auto":
             # crossing-volume heuristic (DESIGN.md): compare-split moves
             # each element log2(D)(log2(D)+1)/2 times vs the exchange's 1,
             # but wins at small D on pattern regularity; 4 is the break.
-            method = "mesh" if mesh.shape[axis_name] <= 4 else "exchange"
+            # 64-bit keys always take compare-split (the exchange's
+            # splitter bisection is u32-domain).
+            method = (
+                "mesh" if wide or mesh.shape[axis_name] <= 4 else "exchange"
+            )
+        if wide and method == "exchange":
+            raise TypeError(
+                "64-bit keys support method='mesh' (compare-split) on a "
+                "mesh; the radix exchange splitter is 32-bit-only"
+            )
         fn = parallel.mesh_sort if method == "mesh" else parallel.exchange_sort
         return fn(
             keys,

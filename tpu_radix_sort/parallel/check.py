@@ -21,27 +21,39 @@ from jax.sharding import PartitionSpec as P
 from ..ops import checksort
 
 
-def _shard_verdict(mk, *, axis_name, n_dev, interpret):
+def _lex_gt_scalar(a_last, b_first):
+    """Lexicographic `last > next-shard-first` over parallel column tuples
+    (1 column: plain compare; 2 columns: the 64-bit (hi, lo) key view)."""
+    gt = a_last[-1] > b_first[-1]
+    for a, b in zip(reversed(a_last[:-1]), reversed(b_first[:-1])):
+        gt = (a > b) | ((a == b) & gt)
+    return gt
+
+
+def _shard_verdict(cols, *, axis_name, n_dev, interpret):
     """Per-shard body: local fast-gated check + boundary pair, psum'd.
 
-    `mk` is this shard's slice of the padded masked-key array in its
-    original (pre-sort) order; sentinel pads live at the global tail, so
-    the global array is sorted iff the real prefix is.
+    `cols` is a tuple holding this shard's slice of each padded masked-key
+    column (one column for u32 keys, (hi, lo) for 64-bit) in its original
+    (pre-sort) order; sentinel pads live at the global tail, so the global
+    array is sorted iff the real prefix is.
     """
-    ok_local = checksort.is_sorted(mk, interpret=interpret)
+    ok_local = checksort.is_sorted_cols(cols, interpret=interpret)
     bad = (~ok_local).astype(jnp.uint32)
     if n_dev > 1:
         # boundary pairs: shard d's last element vs shard d+1's first.
         # Each shard sends its first element one shard to the LEFT; the
         # last shard's slot stays zero-filled and is masked out.
-        recv = jax.lax.ppermute(
-            mk[:1], axis_name, [(i, i - 1) for i in range(1, n_dev)]
+        perm = [(i, i - 1) for i in range(1, n_dev)]
+        recv = tuple(
+            jax.lax.ppermute(c[:1], axis_name, perm) for c in cols
         )
         me = jax.lax.axis_index(axis_name)
+        gt = _lex_gt_scalar(
+            tuple(c[-1] for c in cols), tuple(r[0] for r in recv)
+        )
         boundary_bad = jnp.where(
-            me < n_dev - 1,
-            (mk[-1] > recv[0]).astype(jnp.uint32),
-            jnp.uint32(0),
+            me < n_dev - 1, gt.astype(jnp.uint32), jnp.uint32(0)
         )
         bad = bad + boundary_bad
     return jax.lax.psum(bad, axis_name) == 0
@@ -51,7 +63,9 @@ def global_is_sorted(mk, *, mesh, axis_name, n_dev, interpret):
     """Replicated bool: is the sharded masked-key array globally sorted?
 
     One collective round (psum; plus one edge-element ppermute for D > 1).
+    `mk` is one u32 column or a tuple of lexicographic columns (64-bit keys).
     """
+    cols = mk if isinstance(mk, tuple) else (mk,)
     fn = jax.shard_map(
         functools.partial(
             _shard_verdict,
@@ -60,56 +74,71 @@ def global_is_sorted(mk, *, mesh, axis_name, n_dev, interpret):
             interpret=interpret,
         ),
         mesh=mesh,
-        in_specs=P(axis_name),
+        in_specs=(tuple(P(axis_name) for _ in cols),),
         out_specs=P(),  # psum result is replicated
         check_vma=False,
     )
-    return fn(mk)
+    return fn(cols)
 
 
-def _shard_disorder(u, *, axis_name, n_dev, count, interpret):
+def _shard_disorder(cols, *, axis_name, n_dev, count, interpret):
     """Per-shard body for the public distributed disorder count: elements at
     global index >= `count` become SENTINELs (all-equal max keys create no
     inversions, the exact trick the single-chip padding uses), then local
     streaming reduction + the cross-shard boundary pair, psum'd."""
-    L = u.shape[0]
+    L = cols[0].shape[0]
     me = jax.lax.axis_index(axis_name)
     gidx = me.astype(jnp.uint32) * jnp.uint32(L) + jnp.arange(
         L, dtype=jnp.uint32
     )
-    u = jnp.where(gidx < jnp.uint32(count), u, jnp.uint32(0xFFFFFFFF))
-    bad = checksort.disorder_count(u, interpret=interpret)
+    in_count = gidx < jnp.uint32(count)
+    cols = tuple(
+        jnp.where(in_count, c, jnp.uint32(0xFFFFFFFF)) for c in cols
+    )
+    bad = checksort.disorder_count_cols(cols, interpret=interpret)
     if n_dev > 1:
-        recv = jax.lax.ppermute(
-            u[:1], axis_name, [(i, i - 1) for i in range(1, n_dev)]
+        perm = [(i, i - 1) for i in range(1, n_dev)]
+        recv = tuple(
+            jax.lax.ppermute(c[:1], axis_name, perm) for c in cols
+        )
+        gt = _lex_gt_scalar(
+            tuple(c[-1] for c in cols), tuple(r[0] for r in recv)
         )
         bad = bad + jnp.where(
-            me < n_dev - 1,
-            (u[-1] > recv[0]).astype(jnp.uint32),
-            jnp.uint32(0),
+            me < n_dev - 1, gt.astype(jnp.uint32), jnp.uint32(0)
         )
     return jax.lax.psum(bad, axis_name)
 
 
 def _prep_check_input(u, *, count, bit_count, mesh, axis_name):
     """Shared validation + key-view + SENTINEL pad for the public mesh
-    checks. Returns (u32 array of length round_up(n, D), count)."""
+    checks. Returns (tuple of u32 columns of length round_up(n, D), count) —
+    one column for 32-bit keys, (hi, lo) for 64-bit dtypes."""
     from ..ops import common
 
-    bit_count = 32 if bit_count is None else bit_count  # 64-bit: single-chip
-    common.validate_bit_count(bit_count)
-    u = checksort._as_check_key(u, bit_count)
-    n = u.shape[0]
+    u = jnp.asarray(u)
+    if common.is_64bit_key_dtype(u.dtype):
+        cols = checksort._as_check_key_cols(
+            u, 64 if bit_count is None else bit_count
+        )
+    else:
+        bit_count = 32 if bit_count is None else bit_count
+        common.validate_bit_count(bit_count)
+        cols = (checksort._as_check_key(u, bit_count),)
+    n = cols[0].shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
         raise ValueError(f"count {count} out of range for buffer of {n}")
     n_dev = mesh.shape[axis_name]
     n_pad = common.round_up(max(n, n_dev), n_dev)
-    return common.pad_to(u, n_pad, common.SENTINEL_U32), count
+    return (
+        tuple(common.pad_to(c, n_pad, common.SENTINEL_U32) for c in cols),
+        count,
+    )
 
 
 def mesh_disorder_count(u, *, mesh, axis_name="x", count=None,
-                        bit_count: int = 32, interpret=None):
+                        bit_count: int | None = None, interpret=None):
     """Distributed adjacent-inversion count of the first `count` keys.
 
     Public mesh lift of :func:`tpu_radix_sort.disorder_count` (the
@@ -119,7 +148,7 @@ def mesh_disorder_count(u, *, mesh, axis_name="x", count=None,
     """
     from ..ops import common
 
-    u, count = _prep_check_input(
+    cols, count = _prep_check_input(
         u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name
     )
     if count < 2:
@@ -136,15 +165,15 @@ def mesh_disorder_count(u, *, mesh, axis_name="x", count=None,
             interpret=interpret,
         ),
         mesh=mesh,
-        in_specs=P(axis_name),
+        in_specs=(tuple(P(axis_name) for _ in cols),),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(u)
+    return fn(cols)
 
 
 def mesh_is_sorted(u, *, mesh, axis_name="x", count=None,
-                   bit_count: int = 32, interpret=None):
+                   bit_count: int | None = None, interpret=None):
     """Distributed fast-gated order check of the first `count` keys.
 
     Public mesh lift of :func:`tpu_radix_sort.is_sorted`: each shard runs
@@ -154,7 +183,7 @@ def mesh_is_sorted(u, *, mesh, axis_name="x", count=None,
     """
     from ..ops import common
 
-    u, count = _prep_check_input(
+    cols, count = _prep_check_input(
         u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name
     )
     if count < 2:
@@ -165,8 +194,8 @@ def mesh_is_sorted(u, *, mesh, axis_name="x", count=None,
     # elements past count become SENTINELs (elementwise, so XLA applies it
     # shard-local) — the padded-sorted-tail invariant global_is_sorted's
     # sort callers already maintain
-    in_count = jnp.arange(u.shape[0], dtype=jnp.uint32) < jnp.uint32(count)
-    u = jnp.where(in_count, u, jnp.uint32(0xFFFFFFFF))
+    in_count = jnp.arange(cols[0].shape[0], dtype=jnp.uint32) < jnp.uint32(count)
+    cols = tuple(jnp.where(in_count, c, jnp.uint32(0xFFFFFFFF)) for c in cols)
     return global_is_sorted(
-        u, mesh=mesh, axis_name=axis_name, n_dev=n_dev, interpret=interpret
+        cols, mesh=mesh, axis_name=axis_name, n_dev=n_dev, interpret=interpret
     )

@@ -46,21 +46,21 @@ from ..ops import bitonic, common
 LANES = bitonic.LANES
 
 
-def _compare_split_ce(arrs, recv, keep_min):
+def _compare_split_ce(arrs, recv, keep_min, nk):
     """Elementwise compare-split decision: keep min or max of each pair.
 
     `recv` must already be the partner block reversed (rank r paired with
-    rank L-1-r). (key, idx) pairs are distinct, so lexicographic `<` is a
-    total order and the two sides keep complementary elements.
+    rank L-1-r). The leading `nk` arrays are the compare tuple (key
+    column(s) + the unique tie index — 64-bit keys contribute two columns),
+    so lexicographic `<` is a total order and the two sides keep
+    complementary elements.
     """
-    mine_lt = (arrs[0] < recv[0]) | (
-        (arrs[0] == recv[0]) & (arrs[1] < recv[1])
-    )
+    mine_lt = bitonic._lex_lt(arrs[:nk], recv[:nk])
     take_mine = jnp.where(keep_min, mine_lt, ~mine_lt)
     return tuple(jnp.where(take_mine, a, r) for a, r in zip(arrs, recv))
 
 
-def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks):
+def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks, nk):
     """One compare-split exchange, optionally chunked for comm/compute overlap.
 
     With ``overlap_chunks == S > 1`` the block is exchanged in S sub-chunks
@@ -74,7 +74,7 @@ def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks):
     if overlap_chunks <= 1:
         recv = tuple(jax.lax.ppermute(a, axis_name, perm) for a in arrs)
         recv = tuple(r[::-1] for r in recv)
-        return _compare_split_ce(arrs, recv, keep_min)
+        return _compare_split_ce(arrs, recv, keep_min, nk)
 
     L = arrs[0].shape[0]
     S = overlap_chunks
@@ -94,7 +94,7 @@ def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks):
     for c in range(S):
         nxt = send(c + 1) if c + 1 < S else None
         recv = tuple(r[::-1] for r in pending)
-        out[c] = _compare_split_ce(chunks[c], recv, keep_min)
+        out[c] = _compare_split_ce(chunks[c], recv, keep_min, nk)
         pending = nxt
     return tuple(
         jnp.concatenate([out[c][a] for c in range(S)])
@@ -103,12 +103,13 @@ def _exchange_and_ce(arrs, perm, axis_name, keep_min, overlap_chunks):
 
 
 def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret,
-                           overlap_chunks=1):
+                           overlap_chunks=1, nk=2):
     """Bitonic sorting network over shard ids with compare-split exchanges.
 
-    arrs: tuple of (L,) u32 arrays, arrs[0] the sort key, arrs[1] a unique
-    tie-break index; all locally ascending-sorted by (key, idx). Returns the
-    tuple globally sorted in shard-major order.
+    arrs: tuple of (L,) u32 arrays whose leading `nk` columns are the
+    lexicographic compare tuple (key column(s), then a unique tie-break
+    index), all locally ascending-sorted by that tuple. Returns the tuple
+    globally sorted in shard-major order.
     """
     me = jax.lax.axis_index(axis_name)
     k = 2
@@ -120,10 +121,11 @@ def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret,
             # (me & k) == 0; the lower-index side of the pair keeps the mins.
             keep_min = ((me & j) == 0) == ((me & k) == 0)
             half = _exchange_and_ce(
-                arrs, perm, axis_name, keep_min, overlap_chunks
+                arrs, perm, axis_name, keep_min, overlap_chunks, nk
             )
             arrs = bitonic.merge_padded(
-                half, stable=True, block_rows=block_rows, interpret=interpret
+                half, stable=True, block_rows=block_rows,
+                interpret=interpret, n_keys=nk,
             )
             j //= 2
         k *= 2
@@ -131,14 +133,15 @@ def _compare_split_network(arrs, axis_name, n_dev, *, block_rows, interpret,
 
 
 def _shard_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
-                overlap_chunks=1):
+                overlap_chunks=1, nk=2):
     arrs = bitonic.sort_padded(
-        arrs, stable=True, block_rows=block_rows, interpret=interpret
+        arrs, stable=True, block_rows=block_rows, interpret=interpret,
+        n_keys=nk,
     )
     if n_dev > 1:
         arrs = _compare_split_network(
             arrs, axis_name, n_dev, block_rows=block_rows,
-            interpret=interpret, overlap_chunks=overlap_chunks,
+            interpret=interpret, overlap_chunks=overlap_chunks, nk=nk,
         )
     return arrs
 
@@ -150,7 +153,7 @@ def mesh_sort(
     mesh: Mesh,
     axis_name: str = "x",
     count=None,
-    bit_count: int = 32,
+    bit_count: int | None = None,
     check_order: bool = False,
     total_order: bool = False,
     descending: bool = False,
@@ -183,7 +186,13 @@ def mesh_sort(
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
-    common.validate_bit_count(bit_count)
+    wide = common.is_64bit_key_dtype(keys.dtype)
+    if wide:
+        bit_count = 64 if bit_count is None else bit_count
+        common.validate_bit_count_64(bit_count)
+    else:
+        bit_count = 32 if bit_count is None else bit_count
+        common.validate_bit_count(bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
@@ -192,6 +201,8 @@ def mesh_sort(
         values = jnp.asarray(values)
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
+        if values.dtype.itemsize != 4:
+            raise TypeError("values must be a 32-bit dtype")
     if interpret is None:
         interpret = common.default_interpret_for_mesh(mesh)
     n_dev = mesh.shape[axis_name]
@@ -208,24 +219,45 @@ def mesh_sort(
             f"per-shard length {per}"
         )
 
-    if total_order:
-        u_full = common.to_total_order_u32(keys[:count])
+    # key columns: one for 32-bit dtypes, (hi, lo) for 64-bit (the engine's
+    # lexicographic column tuple, ops/bitonic.py _lex_lt); masked + desc
+    # flips per column, exactly like the single-chip paths
+    if wide:
+        if total_order:
+            full_cols = common.to_total_order_u64_cols(keys[:count])
+        else:
+            full_cols = common.to_sortable_u64_cols(keys[:count])
+        masks = common.bit_mask_cols(bit_count)
+        masked = bit_count < 64
+        lo_only = bit_count <= 32  # hi column all-zero after masking
+        mcols = tuple(c & m for c, m in zip(full_cols, masks))
+        if descending:
+            mcols = tuple(c ^ m for c, m in zip(mcols, masks))
+        key_cols = (mcols[1],) if lo_only else mcols
     else:
-        u_full = common.to_sortable_u32(keys[:count])
-    masked = bit_count < 32
-    mkeys = u_full & common.bit_mask(bit_count)
-    if descending:
-        # stable descending == stable ascending on the flipped masked key
-        # (same reasoning as the single-chip path, ops/sort.py)
-        mkeys = mkeys ^ common.bit_mask(bit_count)
+        if total_order:
+            full_cols = (common.to_total_order_u32(keys[:count]),)
+        else:
+            full_cols = (common.to_sortable_u32(keys[:count]),)
+        masked = bit_count < 32
+        mkeys = full_cols[0] & common.bit_mask(bit_count)
+        if descending:
+            mkeys = mkeys ^ common.bit_mask(bit_count)
+        key_cols = (mkeys,)
 
-    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
+    mk_cols = tuple(
+        common.pad_to(c, n_pad, common.SENTINEL_U32) for c in key_cols
+    )
     idx = jnp.arange(n_pad, dtype=jnp.uint32)
-    arrs = [mk, idx]
-    if masked or descending:
-        # carry the original full key for output recovery (masked keys drop
-        # high bits; descending keys are bit-flipped)
-        arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
+    arrs = [*mk_cols, idx]
+    nk = len(mk_cols) + 1
+    carry_full = masked or descending
+    if carry_full:
+        # carry the original full key column(s) for output recovery (masked
+        # keys drop high bits; descending keys are bit-flipped)
+        arrs += [
+            common.pad_to(c, n_pad, common.SENTINEL_U32) for c in full_cols
+        ]
     if values is not None:
         v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
         arrs.append(common.pad_to(v_u32, n_pad, jnp.uint32(0)))
@@ -238,6 +270,7 @@ def mesh_sort(
             block_rows=block_rows,
             interpret=interpret,
             overlap_chunks=overlap_chunks,
+            nk=nk,
         ),
         mesh=mesh,
         in_specs=(tuple(P(axis_name) for _ in arrs),),
@@ -249,7 +282,7 @@ def mesh_sort(
         from . import check
 
         ok = check.global_is_sorted(
-            mk, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
+            mk_cols, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
             interpret=interpret,
         )
         out = jax.lax.cond(
@@ -258,18 +291,32 @@ def mesh_sort(
     else:
         out = fn(tuple(arrs))
 
-    carry_full = masked or descending
-    u_sorted = out[2] if carry_full else out[0]
-    u_sorted = u_sorted[:count]
-    if total_order:
-        out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+    n_full = len(full_cols)
+    if carry_full:
+        sorted_cols = out[nk: nk + n_full]
+    elif wide:
+        # not masked => bit_count == 64 => both columns in the tuple
+        sorted_cols = out[:n_full]
     else:
-        out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
+        sorted_cols = out[:1]
+    sorted_cols = tuple(c[:count] for c in sorted_cols)
+    if wide:
+        s_hi, s_lo = sorted_cols
+        if total_order:
+            out_keys = common.from_total_order_u64_cols(s_hi, s_lo, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u64_cols(s_hi, s_lo, keys.dtype)
+    else:
+        u_sorted = sorted_cols[0]
+        if total_order:
+            out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
     if count < n:
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys
-    v_sorted = out[3 if carry_full else 2][:count]
+    v_sorted = out[(nk + n_full) if carry_full else nk][:count]
     out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])

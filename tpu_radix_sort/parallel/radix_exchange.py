@@ -260,7 +260,7 @@ def exchange_sort(
     mesh: Mesh,
     axis_name: str = "x",
     count=None,
-    bit_count: int = 32,
+    bit_count: int | None = None,
     check_order: bool = False,
     total_order: bool = False,
     descending: bool = False,
@@ -288,6 +288,12 @@ def exchange_sort(
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
+    if common.is_64bit_key_dtype(keys.dtype):
+        raise TypeError(
+            "64-bit keys support the compare-split strategy (mesh_sort); "
+            "the radix exchange splitter is 32-bit-only"
+        )
+    bit_count = 32 if bit_count is None else bit_count
     common.validate_bit_count(bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)
