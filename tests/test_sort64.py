@@ -322,6 +322,43 @@ def test_u64_breadth_sweep(rng):
     jax.clear_caches()
 
 
+def test_u64_nonpow2_split_matches_golden(rng, monkeypatch):
+    """The non-pow2 split path (prefix + remainder + one merge) for 64-bit
+    keys — threshold lowered so interpret-mode sizes exercise it; sizes
+    chosen with >= 33% pad waste so the split actually activates."""
+    from tpu_radix_sort.ops import sort as sort_mod
+
+    monkeypatch.setattr(sort_mod, "SPLIT_MIN_N", 256)
+    jax.clear_caches()
+    for n in (300, 1040, 1324):
+        assert 3 * max(128, 1 << (n - 1).bit_length()) >= 4 * n
+        k = rng.integers(0, 2**64, n, dtype=np.uint64)
+        k[: n // 3] = (k[: n // 3] & np.uint64(0xFF)) | (
+            np.uint64(5) << np.uint64(32))  # duplicates: stability load
+        v = np.arange(n, dtype=np.uint32)
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        rk, rv = golden_sort(k, v)
+        np.testing.assert_array_equal(np.asarray(trs.sort(kj)), rk)
+        for ranks in (False, True):
+            ok, ov = trs.sort(kj, vj, values_are_ranks=ranks)
+            np.testing.assert_array_equal(np.asarray(ok), rk, err_msg=str(n))
+            np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=str(n))
+        c = (2 * n) // 3
+        np.testing.assert_array_equal(
+            np.asarray(trs.sort(kj, count=c, bit_count=40)),
+            golden_sort(k, count=c, bit_count=40))
+    # real all-ones u64 keys must precede the split path's sentinel pads
+    n = 1040
+    k = np.full(n, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    k[rng.integers(0, n, 200)] = rng.integers(0, 2**64, 200, dtype=np.uint64)
+    v = np.arange(n, dtype=np.uint32)
+    rk, rv = golden_sort(k, v)
+    ok, ov = trs.sort(jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ok), rk)
+    np.testing.assert_array_equal(np.asarray(ov), rv)
+    jax.clear_caches()
+
+
 def test_u64_validation():
     k = jnp.zeros(8, jnp.uint64)
     with pytest.raises(ValueError):

@@ -88,33 +88,72 @@ def sort64(
 
 
 def _pad_sort_cols(key_cols, tie, payloads, *, block_rows, interpret):
-    """Pad every column to pow2 with sentinels and run one bitonic network.
+    """Pad every column to pow2 with sentinels and run one bitonic network,
+    splitting non-pow2 inputs like the 32-bit path.
 
     key_cols (+ tie, when given) form the lexicographic compare tuple; pads
     are all-SENTINEL tuples, which sort to the tail (with a tie column the
     continued iota / rank contract keeps real max-key elements ahead; keys-
     only, pads are byte-identical so their exchanges are no-ops — see
-    `bitonic.sort_padded`). The 32-bit path's non-pow2 split optimization
-    (`ops/sort.py _bitonic_pad_sort`) is not replicated here: 64-bit sorts
-    pay the plain pow2 pad.
+    `bitonic.sort_padded`). A range whose pow2 pad would waste >= 33% is
+    sorted as prefix + remainder and combined with ONE `merge_padded` —
+    the same recursion as `ops/sort.py _bitonic_pad_sort`, sharing its
+    `SPLIT_MIN_N` threshold (read at call time so tests can lower it).
     """
+    from . import sort as sort_mod
+
     n = key_cols[0].shape[0]
-    n_pad = max(bitonic.LANES, common.next_pow2(n))
-    cols = [common.pad_to(c, n_pad, common.SENTINEL_U32) for c in key_cols]
-    n_keys = len(key_cols)
     stable = tie is not None
-    if stable:
-        if tie == "iota":
-            cols.append(jnp.arange(n_pad, dtype=jnp.uint32))
-        else:  # rank payload serves as the tie column
-            cols.append(common.pad_to(tie, n_pad, common.SENTINEL_U32))
-        n_keys += 1
-    cols += [common.pad_to(p, n_pad, jnp.uint32(0)) for p in payloads]
-    out = bitonic.sort_padded(
-        tuple(cols), stable=stable, block_rows=block_rows,
-        interpret=interpret, n_keys=n_keys,
-    )
-    return tuple(c[:n] for c in out)
+    n_keys = len(key_cols) + (1 if stable else 0)
+
+    def build(lo, hi, pad_len):
+        cols = [
+            common.pad_to(c[lo:hi], pad_len, common.SENTINEL_U32)
+            for c in key_cols
+        ]
+        if stable:
+            if tie == "iota":
+                # global index tie-break, continued past the real data so
+                # pads sort after every real element of this part
+                cols.append(jnp.arange(lo, lo + pad_len, dtype=jnp.uint32))
+            else:  # rank payload serves as the tie column
+                cols.append(
+                    common.pad_to(tie[lo:hi], pad_len, common.SENTINEL_U32)
+                )
+        cols += [
+            common.pad_to(p[lo:hi], pad_len, jnp.uint32(0)) for p in payloads
+        ]
+        return tuple(cols)
+
+    def sorted_cols(lo, hi):
+        m = hi - lo
+        m_pad = max(bitonic.LANES, common.next_pow2(m))
+        a = m_pad // 2
+        if not (m >= sort_mod.SPLIT_MIN_N and 3 * m_pad >= 4 * m
+                and a >= bitonic.LANES):
+            return bitonic.sort_padded(
+                build(lo, hi, m_pad), stable=stable, block_rows=block_rows,
+                interpret=interpret, n_keys=n_keys,
+            )
+        A = sorted_cols(lo, lo + a)  # exactly pow2: no pads inside
+        B = sorted_cols(lo + a, hi)  # length next_pow2(m - a) <= a
+        # extend B to length a with identical sentinel tuples (byte-no-op
+        # exchanges), reverse it so [A asc ++ B desc] is bitonic, and merge
+        ext = a - B[0].shape[0]
+        if ext:
+            fills = [common.SENTINEL_U32] * n_keys
+            fills += [jnp.uint32(0)] * (len(B) - n_keys)
+            B = tuple(
+                jnp.concatenate([col, jnp.full((ext,), f, jnp.uint32)])
+                for col, f in zip(B, fills)
+            )
+        C = tuple(jnp.concatenate([x, y[::-1]]) for x, y in zip(A, B))
+        return bitonic.merge_padded(
+            C, stable=stable, block_rows=block_rows, interpret=interpret,
+            n_keys=n_keys,
+        )
+
+    return tuple(c[:n] for c in sorted_cols(0, n))
 
 
 def _engine_sort64(key_cols, payloads, *, stable, rank_payload, method,
