@@ -359,6 +359,28 @@ def test_u64_nonpow2_split_matches_golden(rng, monkeypatch):
     jax.clear_caches()
 
 
+def test_u64_kernel_class(rng):
+    """Construct-once/dispatch-many surface with 64-bit keys (key_dtype
+    option; bit_count defaults to the key width) incl. the AOT compile."""
+    n = 800
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    v = np.arange(n, dtype=np.uint32)
+    kern = trs.RadixSortKernel(count=n, has_values=True,
+                               key_dtype=jnp.uint64)
+    ok, ov = kern.dispatch(jnp.asarray(k), jnp.asarray(v))
+    rk, rv = golden_sort(k, v)
+    np.testing.assert_array_equal(np.asarray(ok), rk)
+    np.testing.assert_array_equal(np.asarray(ov), rv)
+    kern.compile()  # AOT path with u64 avals
+    k16 = trs.RadixSortKernel(count=n, key_dtype=jnp.uint64, bit_count=16)
+    np.testing.assert_array_equal(
+        np.asarray(k16.dispatch(jnp.asarray(k))), golden_sort(k, bit_count=16))
+    with pytest.raises(ValueError):
+        trs.RadixSortKernel(count=n, key_dtype=jnp.uint64, bit_count=65)
+    with pytest.raises(ValueError):
+        trs.RadixSortKernel(count=n, key_dtype=jnp.uint32, bit_count=64)
+
+
 def test_u64_validation():
     k = jnp.zeros(8, jnp.uint64)
     with pytest.raises(ValueError):

@@ -52,7 +52,7 @@ class RadixSortKernel:
         *,
         count: int,
         has_values: bool = False,
-        bit_count: int = 32,
+        bit_count: int | None = None,
         check_order: bool = False,
         total_order: bool = False,
         descending: bool = False,
@@ -66,7 +66,21 @@ class RadixSortKernel:
         mesh=None,
         axis_name: str = "x",
     ):
-        common.validate_bit_count(bit_count)
+        # bit_count defaults to the key width; 64-bit key dtypes extend the
+        # range to [4, 64] (ops/sort64.py) and need jax x64 mode at
+        # dispatch/compile time so the input dtype survives
+        wide = common.is_64bit_key_dtype(key_dtype)
+        if bit_count is None:
+            bit_count = 64 if wide else 32
+        if wide:
+            common.validate_bit_count_64(bit_count)
+            if mesh is not None and method == "exchange":
+                raise TypeError(
+                    "64-bit keys support method='mesh' (compare-split) on "
+                    "a mesh; the radix exchange splitter is 32-bit-only"
+                )
+        else:
+            common.validate_bit_count(bit_count)
         del local_shuffle, avoid_bank_conflicts  # accepted, ignored (see docstring)
         self.count = int(count)
         self.has_values = bool(has_values)
