@@ -359,6 +359,27 @@ def test_u64_nonpow2_split_matches_golden(rng, monkeypatch):
     jax.clear_caches()
 
 
+def test_u64_batched(rng):
+    """Per-row 64-bit sorts: the (row, hi, lo) 3-column lexicographic
+    tuple through `sort_batched` (ops/batched.py)."""
+    B, n = 5, 256
+    k = rng.integers(0, 2**64, (B, n), dtype=np.uint64)
+    k[1] = (k[1] & np.uint64(0xFF)) | (np.uint64(9) << np.uint64(32))
+    v = np.tile(np.arange(n, dtype=np.uint32), (B, 1))
+    ref_k = np.sort(k, axis=1, kind="stable")
+    ref_o = np.argsort(k, axis=1, kind="stable").astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort_batched(jnp.asarray(k))), ref_k)
+    ok, ov = trs.sort_batched(jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ok), ref_k)
+    np.testing.assert_array_equal(np.asarray(ov), ref_o)
+    mk = k & np.uint64((1 << 40) - 1)
+    o40 = np.argsort(mk, axis=1, kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort_batched(jnp.asarray(k), bit_count=40)),
+        np.take_along_axis(k, o40, axis=1))
+
+
 def test_u64_kernel_class(rng):
     """Construct-once/dispatch-many surface with 64-bit keys (key_dtype
     option; bit_count defaults to the key width) incl. the AOT compile."""

@@ -14,6 +14,7 @@ from .api import (
     RadixSortPackedKernel,
     RadixSortTextureKernel,
 )
+from .ops.batched import argsort_batched, sort_batched
 from .ops.checksort import disorder_count, is_sorted
 from .ops.scan import prefix_sum
 from .ops.sort import argsort, sort, sort_packed
@@ -24,6 +25,8 @@ __version__ = "0.1.0"
 __all__ = [
     "sort",
     "argsort",
+    "sort_batched",
+    "argsort_batched",
     "sort_packed",
     "mesh_sort",
     "exchange_sort",
