@@ -228,13 +228,13 @@ def main():
     del k256, ref256, k256np
 
     # batched per-row sorts (extension; ops/batched.py): 1024 rows x 16K =
-    # 16M elements through the composite (row, key) column tuple vs XLA's
+    # 16M elements through the row-local bitonic network vs XLA's
     # natively-batched lax.sort on the same shape
     B, nrow = 1024, 1 << 14
     kb_np = rng.integers(0, 2**32, (B, nrow), dtype=np.uint64).astype(np.uint32)
     kb = jnp.asarray(kb_np)
     refb = np.sort(kb_np, axis=1)
-    bench("16M batched 1024x16K per-row (composite bitonic)",
+    bench("16M batched 1024x16K per-row (row-local bitonic)",
           lambda a: trs.sort_batched(a), kb, B * nrow,
           check=lambda ls: np.array_equal(ls[0], refb))
     bench("16M batched 1024x16K per-row (XLA lax.sort)",

@@ -48,21 +48,27 @@ def test_batched_keys_and_values(rng):
         np.asarray(ovp), np.take_along_axis(pay, ref_o, axis=1))
 
 
-def test_batched_masked_composite_and_descending(rng):
-    # bit_count=16 with B=7 packs row bits into the same u32 word
-    # (composite single-column path); descending flips key bits only
+def test_batched_masked_and_descending(rng):
+    # masked keys carry the full word per row; descending flips key bits;
+    # non-pow2 row length exercises the per-row sentinel pad
     B, n = 7, 257
     k = rng.integers(0, 2**32, (B, n), dtype=np.uint64).astype(np.uint32)
     for desc in (False, True):
         ref_k, _ = _ref(k, bit_count=16, descending=desc)
         out = trs.sort_batched(jnp.asarray(k), bit_count=16, descending=desc)
         np.testing.assert_array_equal(np.asarray(out), ref_k, err_msg=str(desc))
-    # row bits + bit_count > 32 forces the separate row-column path even
-    # when masked (32 rows = 5 row bits; 5 + 28 > 32)
     k2 = rng.integers(0, 2**32, (32, 130), dtype=np.uint64).astype(np.uint32)
     ref2, _ = _ref(k2, bit_count=28)
     out2 = trs.sort_batched(jnp.asarray(k2), bit_count=28)
     np.testing.assert_array_equal(np.asarray(out2), ref2)
+    # rows spanning multiple tiles: the cross-tile row-local merge rounds
+    k3 = rng.integers(0, 2**32, (3, 4000), dtype=np.uint64).astype(np.uint32)
+    out3 = trs.sort_batched(jnp.asarray(k3), block_rows=4)
+    np.testing.assert_array_equal(np.asarray(out3), np.sort(k3, axis=1))
+    # odd batch count with tiny rows: tile-divisibility fallback
+    k4 = rng.integers(0, 2**32, (5, 64), dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(trs.sort_batched(jnp.asarray(k4))), np.sort(k4, axis=1))
 
 
 def test_batched_total_order_and_dtypes(rng):

@@ -1,25 +1,23 @@
 """Batched (per-row) sorts: independently sort each row of a 2-D array.
 
 Extension past the reference (one flat buffer per sort,
-``src/kernels/radix-sort/AbstractRadixSortKernel.ts``). On TPU the natural
-formulation is a *composite key*: sorting the flattened array by
-(row_id, key) lexicographically IS sorting each row independently — rows
-never interleave because row_id dominates, and within a row the order is
-by key. That rides the engine's lexicographic column tuples
-(`ops/bitonic.py _lex_lt`) with zero new device code:
+``src/kernels/radix-sort/AbstractRadixSortKernel.ts``). The engine is the
+*row-local* bitonic network (`ops/bitonic.py sort_rows_padded`): rows pad
+to a pow2 length, the standard rounds run up to half the row length
+(strides never cross a row boundary because the row length divides every
+round's run), and one final merge round is forced uniformly ascending —
+O(log^2 row) + log(row) stages, the per-row optimum, with NO row-id data
+moved at all. Keys-only batched sorts therefore ride the same min/max
+fast path as flat keys-only sorts.
 
-- 32-bit keys with ``bit_count + ceil(log2(B))`` <= 32: the row id packs
-  into the SAME u32 word above the masked key bits — one key column, the
-  exact cost of a flat masked sort.
-- otherwise: a dedicated row-id column ((row, key) or (row, hi, lo) for
-  64-bit keys) — ~3 extra vector ops per stage.
+(The obvious alternative — a composite (row_id, key) lexicographic sort of
+the flattened array — costs O(log^2 (B*n)) stages plus an extra moved
+column; it was this module's first implementation and the row-local
+network strictly dominates it.)
 
-One blocked network over B*n elements costs O(log^2(B*n)) stages vs the
-per-row ideal O(log^2 n), but runs at the engine's blocked-HBM pass count —
-compare `method='xla'` (`jax.lax.sort` batched natively) on chip.
-
-Stability per row, `descending` (key bits flip, row bits don't),
-`total_order`, masked `bit_count`, and value payloads all carry over.
+Stability per row, `descending`, `total_order`, masked `bit_count`, value
+payloads, and every key dtype (incl. 64-bit under jax x64) carry over from
+the flat sort. `method='xla'` maps to `jax.lax.sort`'s native batching.
 """
 from __future__ import annotations
 
@@ -28,8 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import common
-from .sort64 import _pad_sort_cols
+from . import bitonic, common
 
 
 def sort_batched(
@@ -95,9 +92,8 @@ def sort_batched(
 def argsort_batched(keys, **kwargs):
     """Per-row stable ranks: positions each row's elements sort to.
 
-    The per-row iota payload satisfies the batched rank contract (row id
-    dominates the compare tuple, so ties only resolve within a row), so
-    this always takes the rank-payload path — no separate index column.
+    The per-row iota payload satisfies the batched rank contract, so this
+    always takes the rank-payload path — no separate index column.
     """
     keys = jnp.asarray(keys)
     if keys.ndim != 2:
@@ -107,6 +103,15 @@ def argsort_batched(keys, **kwargs):
     )
     kwargs.setdefault("values_are_ranks", True)
     return sort_batched(keys, ranks, **kwargs)[1]
+
+
+def _pad_rows(col_flat, B, n, row_pad, fill):
+    """(B*n,) column -> (B*row_pad,) with each row padded with `fill`."""
+    if row_pad == n:
+        return col_flat
+    c = col_flat.reshape(B, n)
+    pad = jnp.full((B, row_pad - n), fill, dtype=col_flat.dtype)
+    return jnp.concatenate([c, pad], axis=1).reshape(B * row_pad)
 
 
 @functools.partial(
@@ -151,7 +156,6 @@ def _sort_batched_jit(
         if descending:
             mcols = tuple(c ^ m for c, m in zip(mcols, masks))
         mk_cols = (mcols[1],) if lo_only else mcols
-        key_width = 32  # row bits never pack into a 64-bit pair
     else:
         if total_order:
             full_cols = (common.to_total_order_u32(flat),)
@@ -163,91 +167,78 @@ def _sort_batched_jit(
         if descending:
             mk = mk ^ masks[0]
         mk_cols = (mk,)
-        key_width = bit_count
-
-    row = jnp.repeat(
-        jnp.arange(B, dtype=jnp.uint32), n, total_repeat_length=B * n
-    )
-    row_bits = max(1, (B - 1).bit_length())
-    if not wide and row_bits + key_width <= 32:
-        # composite single column: row id above the masked key bits —
-        # the batch dimension rides for free in the flat sort's word
-        key_cols = ((row << key_width) | mk_cols[0],)
-    else:
-        key_cols = (row, *mk_cols)
 
     carry_full = masked or descending
     stable = carry_full or values is not None
 
     if method == "xla":
-        # lax.sort is natively batched (sorts along the last axis per
-        # row), so the row-id column is unnecessary on this path
+        # lax.sort is natively batched (sorts along the last axis per row)
         ks = tuple(c.reshape(B, n) for c in mk_cols)
         payloads = []
         if carry_full:
             payloads += [c.reshape(B, n) for c in full_cols]
         if values is not None:
-            payloads.append(
-                jax.lax.bitcast_convert_type(values, jnp.uint32)
-            )
+            payloads.append(jax.lax.bitcast_convert_type(values, jnp.uint32))
         out = jax.lax.sort(
-            (*ks, *payloads), num_keys=len(ks), is_stable=stable,
-            dimension=1,
+            (*ks, *payloads), num_keys=len(ks), is_stable=stable, dimension=1,
         )
         sorted_cols = (
             out[len(ks): len(ks) + len(full_cols)] if carry_full
             else out[: len(full_cols)]
         )
         sorted_cols = tuple(c.reshape(B * n) for c in sorted_cols)
-        v_sorted = (
-            out[-1].reshape(B * n) if values is not None else None
-        )
+        v_sorted = out[-1].reshape(B * n) if values is not None else None
     else:
-        payloads = []
-        rank_tie = None
+        # row-local bitonic network: pad each row to a pow2 (>= LANES so
+        # the flat length is always a multiple of the lane width), sort
+        # every row_pad-aligned run independently, slice rows back
+        row_pad = max(bitonic.LANES, common.next_pow2(n))
+        npad = B * row_pad
+        SENT = common.SENTINEL_U32
+        cols = [_pad_rows(c, B, n, row_pad, SENT) for c in mk_cols]
+        n_keys = len(mk_cols)
+        rank_tie = values_are_ranks and values is not None
+        if stable:
+            if rank_tie:
+                # per-row increasing ranks < SENTINEL: valid tie column
+                # (padded with SENTINEL so real max-key elements precede
+                # each row's pads; pad tuples are byte-identical)
+                v_u32 = jax.lax.bitcast_convert_type(
+                    values.reshape(B * n), jnp.uint32
+                )
+                cols.append(_pad_rows(v_u32, B, n, row_pad, SENT))
+            else:
+                # global iota: within each row it is the original position
+                cols.append(jnp.arange(npad, dtype=jnp.uint32))
+            n_keys += 1
         if carry_full:
-            payloads += list(full_cols)
-        if values is not None:
+            cols += [_pad_rows(c, B, n, row_pad, SENT) for c in full_cols]
+        if values is not None and not rank_tie:
             v_u32 = jax.lax.bitcast_convert_type(
                 values.reshape(B * n), jnp.uint32
             )
-            if values_are_ranks:
-                # per-row increasing ranks are a valid tie column: the row
-                # id dominates, so ties only compare within a row
-                rank_tie = v_u32
-            else:
-                payloads.append(v_u32)
-        if stable and rank_tie is not None:
-            out = _pad_sort_cols(
-                key_cols, rank_tie, payloads,
-                block_rows=block_rows, interpret=interpret,
-            )
-            nk = len(key_cols)
-            v_sorted, tail = out[nk], list(out[nk + 1:])
-        elif stable:
-            out = _pad_sort_cols(
-                key_cols, "iota", payloads,
-                block_rows=block_rows, interpret=interpret,
-            )
-            nk = len(key_cols) + 1
-            tail = list(out[nk:])
-            v_sorted = tail.pop() if values is not None else None
-        else:
-            out = _pad_sort_cols(
-                key_cols, None, payloads,
-                block_rows=block_rows, interpret=interpret,
-            )
-            tail, v_sorted = list(out[len(key_cols):]), None
+            cols.append(_pad_rows(v_u32, B, n, row_pad, jnp.uint32(0)))
+
+        out = bitonic.sort_rows_padded(
+            tuple(cols), row_len=row_pad, stable=stable,
+            block_rows=block_rows, interpret=interpret, n_keys=n_keys,
+        )
+
+        def unpad(c):
+            return c.reshape(B, row_pad)[:, :n].reshape(B * n)
+
+        base = len(mk_cols) + (1 if stable else 0)
         if carry_full:
-            sorted_cols = tuple(tail[: len(full_cols)])
-        elif wide:
-            # key_cols = (row, hi, lo): skip the leading row column
-            sorted_cols = out[1: 1 + len(full_cols)]
+            sorted_cols = tuple(unpad(c) for c in out[base: base + len(full_cols)])
         else:
-            # 32-bit unmasked ascending: the sorted key is the last key
-            # column (a composite row<<bits packing implies masked, and
-            # masked/descending always carry the full key)
-            sorted_cols = (out[len(key_cols) - 1],)
+            # not masked/descending: the masked cols ARE the full cols
+            sorted_cols = tuple(unpad(c) for c in out[: len(full_cols)])
+        if values is None:
+            v_sorted = None
+        elif rank_tie:
+            v_sorted = unpad(out[len(mk_cols)])
+        else:
+            v_sorted = unpad(out[-1])
 
     if wide:
         s_hi, s_lo = sorted_cols

@@ -511,16 +511,19 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None,
 
 
 def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret,
-                 n_keys=None):
+                 n_keys=None, j_hi=None):
     """One bitonic merge round k: strides k/2 .. 1 over (rows, 128) arrays.
 
     The round constant k is passed to the kernels as a scalar operand
     (dyn_k), so all rounds with the same stride structure share one compiled
     Mosaic kernel — compile time is O(1) in the number of merge rounds.
+    `j_hi` overrides the starting stride (default k/2) — the row-local
+    final round passes a k larger than every global index (direction
+    uniformly ascending) with strides bounded by the row length.
     """
     # strides k/2 .. down: fused cross passes while the pair distance
     # exceeds what a contiguous tile can see (2j > T)
-    j = k // 2
+    j = k // 2 if j_hi is None else j_hi
     while 2 * j > T:
         # fuse strides j .. j_lo in one pass (c of them)
         c = 1
@@ -559,6 +562,98 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret,
     if j >= 1:
         x = run_contig(x, [(None, jj) for jj in _halving(j)], dyn_k=k)
     return x
+
+
+def sort_rows_padded(arrs, *, row_len, stable, block_rows=None,
+                     interpret=None, n_keys=None):
+    """Sort every aligned `row_len` run of the arrays independently,
+    ascending (the batched per-row engine, `ops/batched.py`).
+
+    Same column contract as :func:`sort_padded` (key columns + optional
+    tie + payloads, sentinel pads per row), but the network stops at the
+    row length: rounds 2 .. row_len/2 are the standard bitonic rounds
+    (strides never cross a row because row_len divides every round's run
+    length), and one final merge round runs strides row_len/2 .. 1 with
+    the direction forced uniformly ascending (each row is bitonic after
+    round row_len/2, and the final merge direction is free per row). Total
+    stages: O(log^2 row_len) + log row_len — the per-row optimum —
+    instead of O(log^2 (B*row_len)) for a composite (row, key) sort, with
+    no row-id column moved at all.
+
+    `arrs` length must be a multiple of `row_len` (pow2); the total length
+    need not be a power of two.
+    """
+    if interpret is None:
+        interpret = common.default_interpret()
+    n = arrs[0].shape[0]
+    assert row_len >= 2 and (row_len & (row_len - 1)) == 0, (
+        f"row_len must be a pow2 >= 2, got {row_len}"
+    )
+    assert n % row_len == 0 and n % LANES == 0, (
+        f"length {n} must be a multiple of row_len {row_len} and {LANES}"
+    )
+    rows = n // LANES
+    if block_rows is None:
+        from ..utils import dispatch
+
+        block_rows = min(
+            DEFAULT_BLOCK_ROWS, dispatch.choose_block_rows(n, len(arrs))
+        )
+    tile_rows = min(rows, block_rows)
+    # tiles must not straddle row boundaries when rows span multiple tiles
+    if row_len > LANES:
+        tile_rows = min(tile_rows, row_len // LANES)
+    # the grid needs tile_rows | rows (rows = B * row_len/LANES need not be
+    # a pow2 when the batch count isn't)
+    while rows % tile_rows:
+        tile_rows //= 2
+    T = tile_rows * LANES
+
+    x = tuple(a.reshape(rows, LANES) for a in arrs)
+
+    def run_contig(x, stages, dyn_k=None):
+        return _run_network(
+            x, stable, stages,
+            grid=(rows // tile_rows,),
+            block_shape=(tile_rows, LANES),
+            index_map=lambda i: (i, 0),
+            base_scale=T,
+            kernel_rows=tile_rows,
+            block_elems=T,
+            interpret=interpret,
+            dyn_k=dyn_k,
+            n_keys=n_keys,
+        )
+
+    # a pow2 k with (global_idx & k) == 0 everywhere: uniformly ascending
+    BIG = 1 << 30
+    assert n < BIG
+
+    if row_len <= T:
+        # whole rows fit a tile: standard rounds + the uniform final round
+        # in (chunked) contiguous calls
+        stages = _block_stages(2, row_len // 2) if row_len >= 4 else []
+        stages += [(BIG, j) for j in _halving(row_len // 2)]
+        x = run_contig(x, stages)
+        return tuple(a.reshape(n) for a in x)
+
+    # rows span multiple tiles: phase 1 over tiles, merge rounds up to
+    # row_len/2, then the final uniform round with strides row_len/2 .. 1
+    x = run_contig(x, _block_stages(2, T))
+    k = 2 * T
+    while k <= row_len // 2:
+        x = _merge_round(
+            x, k, n=n, rows=rows, tile_rows=tile_rows, T=T,
+            stable=stable, run_contig=run_contig, interpret=interpret,
+            n_keys=n_keys,
+        )
+        k *= 2
+    x = _merge_round(
+        x, BIG, n=n, rows=rows, tile_rows=tile_rows, T=T,
+        stable=stable, run_contig=run_contig, interpret=interpret,
+        n_keys=n_keys, j_hi=row_len // 2,
+    )
+    return tuple(a.reshape(n) for a in x)
 
 
 def merge_padded(arrs, *, stable, block_rows=None, interpret=None,
