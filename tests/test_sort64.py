@@ -380,6 +380,24 @@ def test_u64_batched(rng):
         np.take_along_axis(k, o40, axis=1))
 
 
+def test_u64_segments(rng):
+    """Ragged 64-bit segments: (seg, hi, lo) lexicographic columns."""
+    n = 1200
+    cuts = np.sort(rng.choice(np.arange(1, n), size=6, replace=False))
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    v = np.arange(n, dtype=np.uint32)
+    rk, rv = k.copy(), v.copy()
+    for a, b in zip(offs[:-1], offs[1:]):
+        o = np.argsort(rk[a:b], kind="stable")
+        rk[a:b] = rk[a:b][o]
+        rv[a:b] = v[a:b][o]
+    ok, ov = trs.sort_segments(jnp.asarray(k), jnp.asarray(offs),
+                               jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ok), rk)
+    np.testing.assert_array_equal(np.asarray(ov), rv)
+
+
 def test_u64_kernel_class(rng):
     """Construct-once/dispatch-many surface with 64-bit keys (key_dtype
     option; bit_count defaults to the key width) incl. the AOT compile."""

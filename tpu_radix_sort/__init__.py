@@ -17,6 +17,7 @@ from .api import (
 from .ops.batched import argsort_batched, sort_batched
 from .ops.checksort import disorder_count, is_sorted
 from .ops.scan import prefix_sum
+from .ops.segmented import argsort_segments, sort_segments
 from .ops.sort import argsort, sort, sort_packed
 from .parallel import exchange_sort, mesh_sort
 
@@ -27,6 +28,8 @@ __all__ = [
     "argsort",
     "sort_batched",
     "argsort_batched",
+    "sort_segments",
+    "argsort_segments",
     "sort_packed",
     "mesh_sort",
     "exchange_sort",

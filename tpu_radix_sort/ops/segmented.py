@@ -1,0 +1,248 @@
+"""Segmented sorts: independently sort variable-length segments of a flat
+array (the ragged generalization of `ops/batched.py`).
+
+Extension past the reference. Segments are defined CSR-style by an
+`offsets` array (length S+1, offsets[0] == 0, offsets[-1] == n,
+nondecreasing; empty segments allowed). Unlike equal-length rows, ragged
+segments don't align to the row-local network's pow2 runs, so the engine
+here is a *composite key*: sorting the flat array by (segment_id, key)
+lexicographically sorts every segment in place — segment id dominates, so
+elements never leave their segment's contiguous range, and within it the
+order is by key. The segment id either packs into the same u32 word above
+the masked key bits (ceil(log2(S)) + bit_count <= 32: one key column, the
+cost of a flat masked sort) or rides as a dedicated column in the engine's
+lexicographic tuple (`ops/bitonic.py _lex_lt`, ~3 vector ops per stage).
+
+`offsets` is a traced operand (one compiled pipeline serves every
+segmentation of the same shape); segment ids come from one
+`searchsorted` over the offsets, O(n log S) XLA work before the sort.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import common
+from .sort64 import _pad_sort_cols
+
+
+def sort_segments(
+    keys,
+    offsets,
+    values=None,
+    *,
+    bit_count: int | None = None,
+    descending: bool = False,
+    total_order: bool = False,
+    values_are_ranks: bool = False,
+    method: str = "auto",
+    block_rows=None,
+    interpret=None,
+):
+    """Stable ascending sort of each segment `[offsets[i], offsets[i+1])`
+    of a flat 1-D key array, co-permuting optional 32-bit `values`.
+
+    `offsets`: 1-D integer array, length S+1, with offsets[0] == 0,
+    offsets[-1] == len(keys), nondecreasing (CSR segment boundaries; this
+    contract is the caller's — offsets are traced, not validated).
+    Same key-dtype/option surface as :func:`sort` (64-bit dtypes under
+    jax x64). `values_are_ranks=True` promises each SEGMENT of `values`,
+    viewed as u32, is strictly increasing with every element < 0xFFFFFFFF.
+    Returns keys or (keys, values), same shape.
+    """
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("sort_segments expects a 1-D key array")
+    offsets = jnp.asarray(offsets)
+    if offsets.ndim != 1 or offsets.shape[0] < 2:
+        raise ValueError("offsets must be 1-D with length >= 2 (S+1 bounds)")
+    if not jnp.issubdtype(offsets.dtype, jnp.integer):
+        raise TypeError("offsets must be an integer array")
+    wide = common.is_64bit_key_dtype(keys.dtype)
+    if wide:
+        bit_count = 64 if bit_count is None else bit_count
+        common.validate_bit_count_64(bit_count)
+    elif keys.dtype in (jnp.uint32, jnp.float32, jnp.int32):
+        bit_count = 32 if bit_count is None else bit_count
+        common.validate_bit_count(bit_count)
+    else:
+        raise TypeError(f"unsupported key dtype {keys.dtype}")
+    if values is not None:
+        values = jnp.asarray(values)
+        if values.shape != keys.shape:
+            raise ValueError("values must match keys shape")
+        if values.dtype.itemsize != 4:
+            raise TypeError("values must be a 32-bit dtype")
+    if method not in ("auto", "bitonic", "xla"):
+        raise ValueError(
+            "sort_segments supports method in ('auto', 'bitonic', 'xla'); "
+            f"got {method!r}"
+        )
+    if interpret is None:
+        interpret = common.default_interpret()
+    return _sort_segments_jit(
+        keys,
+        offsets,
+        values,
+        bit_count=bit_count,
+        descending=descending,
+        total_order=total_order,
+        values_are_ranks=values_are_ranks and values is not None,
+        method="bitonic" if method == "auto" else method,
+        block_rows=block_rows,
+        interpret=interpret,
+    )
+
+
+def argsort_segments(keys, offsets, **kwargs):
+    """Per-segment stable ranks (positions within the segment each element
+    sorts to). The position-minus-segment-start payload satisfies the
+    segmented rank contract, so this takes the rank-payload path."""
+    keys = jnp.asarray(keys)
+    offsets = jnp.asarray(offsets)
+    n = keys.shape[0]
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    seg = _segment_ids(offsets, n)
+    ranks = pos - offsets[seg].astype(jnp.uint32)
+    kwargs.setdefault("values_are_ranks", True)
+    return sort_segments(keys, offsets, ranks, **kwargs)[1]
+
+
+def _segment_ids(offsets, n):
+    """Element position -> segment id (searchsorted over the CSR bounds)."""
+    pos = jnp.arange(n, dtype=offsets.dtype)
+    return jnp.clip(
+        jnp.searchsorted(offsets, pos, side="right") - 1,
+        0, offsets.shape[0] - 2,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bit_count",
+        "descending",
+        "total_order",
+        "values_are_ranks",
+        "method",
+        "block_rows",
+        "interpret",
+    ),
+)
+def _sort_segments_jit(
+    keys,
+    offsets,
+    values,
+    *,
+    bit_count,
+    descending,
+    total_order,
+    values_are_ranks,
+    method,
+    block_rows,
+    interpret,
+):
+    n = keys.shape[0]
+    S = offsets.shape[0] - 1
+    if n <= 1:
+        return keys if values is None else (keys, values)
+
+    if wide := common.is_64bit_key_dtype(keys.dtype):
+        if total_order:
+            full_cols = common.to_total_order_u64_cols(keys)
+        else:
+            full_cols = common.to_sortable_u64_cols(keys)
+        masks = common.bit_mask_cols(bit_count)
+        masked = bit_count < 64
+        lo_only = bit_count <= 32
+        mcols = tuple(c & m for c, m in zip(full_cols, masks))
+        if descending:
+            mcols = tuple(c ^ m for c, m in zip(mcols, masks))
+        mk_cols = (mcols[1],) if lo_only else mcols
+        key_width = 32  # segment bits never pack into a 64-bit pair
+    else:
+        if total_order:
+            full_cols = (common.to_total_order_u32(keys),)
+        else:
+            full_cols = (common.to_sortable_u32(keys),)
+        masks = (common.bit_mask(bit_count),)
+        masked = bit_count < 32
+        mk = full_cols[0] & masks[0]
+        if descending:
+            mk = mk ^ masks[0]
+        mk_cols = (mk,)
+        key_width = bit_count
+
+    seg = _segment_ids(offsets, n).astype(jnp.uint32)
+    seg_bits = max(1, (S - 1).bit_length())
+    if not wide and seg_bits + key_width <= 32:
+        # composite single column: segment id above the masked key bits
+        key_cols = ((seg << key_width) | mk_cols[0],)
+    else:
+        key_cols = (seg, *mk_cols)
+
+    carry_full = masked or descending
+    stable = carry_full or values is not None
+
+    if method == "xla":
+        payloads = list(full_cols) if carry_full else []
+        if values is not None:
+            payloads.append(jax.lax.bitcast_convert_type(values, jnp.uint32))
+        out = jax.lax.sort(
+            (*key_cols, *payloads), num_keys=len(key_cols), is_stable=stable,
+        )
+        base = len(key_cols)
+        if carry_full:
+            sorted_cols = out[base: base + len(full_cols)]
+        else:
+            # unmasked ascending (masked/descending always carry), so the
+            # segment id is always a separate leading column here
+            sorted_cols = out[1: 1 + len(full_cols)]
+        v_sorted = out[-1] if values is not None else None
+    else:
+        payloads = []
+        rank_tie = values_are_ranks and values is not None
+        if carry_full:
+            payloads += list(full_cols)
+        v_u32 = None
+        if values is not None:
+            v_u32 = jax.lax.bitcast_convert_type(values, jnp.uint32)
+            if not rank_tie:
+                payloads.append(v_u32)
+        tie = v_u32 if rank_tie else ("iota" if stable else None)
+        out = _pad_sort_cols(
+            key_cols, tie, payloads,
+            block_rows=block_rows, interpret=interpret,
+        )
+        nk = len(key_cols)
+        base = nk + (1 if stable else 0)
+        if carry_full:
+            sorted_cols = out[base: base + len(full_cols)]
+        else:
+            # unmasked ascending (masked/descending always carry), so the
+            # segment id is always a separate leading column here
+            sorted_cols = out[1: 1 + len(full_cols)]
+        if values is None:
+            v_sorted = None
+        elif rank_tie:
+            v_sorted = out[nk]
+        else:
+            v_sorted = out[-1]
+
+    if wide:
+        s_hi, s_lo = sorted_cols
+        if total_order:
+            out_keys = common.from_total_order_u64_cols(s_hi, s_lo, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u64_cols(s_hi, s_lo, keys.dtype)
+    else:
+        u = sorted_cols[0]
+        if total_order:
+            out_keys = common.from_total_order_u32(u, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u32(u, keys.dtype)
+    if values is None:
+        return out_keys
+    return out_keys, jax.lax.bitcast_convert_type(v_sorted, values.dtype)
