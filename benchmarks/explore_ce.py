@@ -280,39 +280,43 @@ def bench_slicing_chunked(n_arr, stable, chunk):
 
 
 def bench_engine_fold2(n=1 << 26):
-    """Full-engine A/B of USE_FOLD2_CE on the headline shape (64M k+v,
-    rank payload — the 2-array stable path the flag rewrites). Decides
-    round-3 VERDICT item 6: flip the default iff ON beats OFF here.
-    jax.clear_caches() between flips: the flag is read at trace time, so a
-    warm _sort_jit cache would silently reuse the OFF pipeline."""
+    """Full-engine A/B of the folded fast paths on the headline shape:
+    USE_FOLD2_CE on 64M k+v rank-payload (the 2-array stable path) and
+    USE_FOLD3_CE on 64M k+v generic payload (the 3-array path). Decides
+    round-3 VERDICT item 6: flip each default iff ON beats OFF here.
+    jax.clear_caches() between flips: the flags are read at trace time, so
+    a warm _sort_jit cache would silently reuse the OFF pipeline."""
     import tpu_radix_sort as trs
     from tpu_radix_sort.ops import bitonic as b
 
     k = jax.random.bits(jax.random.PRNGKey(7), (n,), dtype=jnp.uint32)
     v = jnp.arange(n, dtype=jnp.uint32)
-    for flag in (False, True):
-        old = b.USE_FOLD2_CE
-        b.USE_FOLD2_CE = flag
-        jax.clear_caches()
-        try:
-            t0 = time.time()
+    for attr, ranks in (("USE_FOLD2_CE", True), ("USE_FOLD3_CE", False)):
+        for flag in (False, True):
+            old = getattr(b, attr)
+            setattr(b, attr, flag)
+            jax.clear_caches()
+            try:
+                t0 = time.time()
 
-            def f(kk, vv):
-                return trs.sort(kk, vv, method="bitonic",
-                                values_are_ranks=True)
+                def f(kk, vv):
+                    return trs.sort(kk, vv, method="bitonic",
+                                    values_are_ranks=ranks)
 
-            ok, ov = f(k, v)
-            np.asarray(ok[:1])
-            compile_s = time.time() - t0
-            t = device_time(lambda kk: f(kk, v)[0], k, k_lo=2, k_hi=10)
-            name = f"engine 64M k+v rank-payload fold2={'ON ' if flag else 'OFF'}"
-            print(f"{name:44s} {t*1e3:8.3f} ms  "
-                  f"(compile {compile_s:.0f}s)", flush=True)
-        except Exception as e:
-            print(f"engine fold2={flag} FAILED: {type(e).__name__}: {e}",
-                  flush=True)
-        finally:
-            b.USE_FOLD2_CE = old
+                ok, ov = f(k, v)
+                np.asarray(ok[:1])
+                compile_s = time.time() - t0
+                t = device_time(lambda kk: f(kk, v)[0], k, k_lo=2, k_hi=10)
+                kind = "rank-payload" if ranks else "generic     "
+                name = (f"engine 64M k+v {kind} "
+                        f"{attr[4:9].lower()}={'ON ' if flag else 'OFF'}")
+                print(f"{name:44s} {t*1e3:8.3f} ms  "
+                      f"(compile {compile_s:.0f}s)", flush=True)
+            except Exception as e:
+                print(f"engine {attr}={flag} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                setattr(b, attr, old)
     jax.clear_caches()
 
 

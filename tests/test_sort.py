@@ -306,6 +306,33 @@ def test_fold2_stable_path(rng, monkeypatch):
             np.testing.assert_array_equal(np.asarray(ovc), rvc)
 
 
+def test_fold3_stable_paths(rng, monkeypatch):
+    """Byte-exactness of the USE_FOLD3_CE folded fast path on >= 3-array
+    assemblies (generic (key, idx, value); masked 4-array; transposed),
+    incl. the 2-array control staying on USE_FOLD2_CE's gate."""
+    from tpu_radix_sort.ops import bitonic
+
+    monkeypatch.setattr(bitonic, "USE_FOLD3_CE", True)
+    for transpose in (False, True):
+        monkeypatch.setattr(bitonic, "_TEST_TRANSPOSE_IN_INTERPRET", transpose)
+        n = 1800
+        k = _rand_keys(rng, n, hi=40)  # heavy duplicates
+        v = np.arange(n, dtype=np.uint32)
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        rk, rv = golden_sort(k, v)
+        ok, ov = trs.sort(kj, vj, method="bitonic", block_rows=4)
+        np.testing.assert_array_equal(np.asarray(ok), rk)
+        np.testing.assert_array_equal(np.asarray(ov), rv)
+        ok8, ov8 = trs.sort(kj, vj, method="bitonic", bit_count=8)
+        rk8, rv8 = golden_sort(k, v, bit_count=8)
+        np.testing.assert_array_equal(np.asarray(ok8), rk8)
+        np.testing.assert_array_equal(np.asarray(ov8), rv8)
+        okd, ovd = trs.sort(kj, vj, method="bitonic", descending=True)
+        rkd, rvd = golden_sort(k, v, descending=True)
+        np.testing.assert_array_equal(np.asarray(okd), rkd)
+        np.testing.assert_array_equal(np.asarray(ovd), rvd)
+
+
 def test_nonpow2_split_sort_matches_golden(rng, monkeypatch):
     """The non-pow2 split path (prefix sort + remainder sort + one merge)
     must be byte-exact vs golden across the feature surface. The threshold

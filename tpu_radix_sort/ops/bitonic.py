@@ -91,6 +91,15 @@ USE_MINMAX_CE = True
 # A/B shows it beating `_ce_roll`'s 2-array path. Byte-exactness is pinned
 # either way by tests/test_sort.py::test_fold2_stable_path.
 USE_FOLD2_CE = False
+# The same fold for >= 3 arrays (generic k+v, masked keys, 64-bit stable):
+# every KEY column XORs the direction mask (payloads don't — they aren't
+# compared), the leading column's CE is pure min/max, lower key columns and
+# payloads select on one lexicographic verdict per roll direction.
+# Candidate from the explore_ce `fold3minmax` row; gated separately from
+# USE_FOLD2_CE because the win need not transfer (payload columns pay one
+# extra select each). Byte-exactness pinned by
+# tests/test_sort.py::test_fold2_stable_path (foldn cases).
+USE_FOLD3_CE = False
 
 
 def _roll(x, shift, axis):
@@ -211,36 +220,44 @@ def _ce_roll_minmax(y, j, rid, cid):
     return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
 
-def _ce_roll_fold2(y, s, j, rid, cid):
-    """Stable (key, rank) CE at stride j on direction-folded views (y, s).
+def _ce_roll_foldn(arrs, n_keys, j, rid, cid):
+    """CE at stride j on direction-folded views (the fold2/fold3 fast path).
 
-    Both arrays are pre-XORed with the round's direction mask (plus the i32
-    sign bias on the key only), so tuple order is "ascending everywhere":
-    the key keeps min(pair) at first slots via the forward roll and
-    max(pair) at second slots via the backward roll with no decision chain;
-    the rank resolves the full lexicographic tuple compare once per roll
-    direction. Garbage lanes of each roll land only on positions whose
-    select branch ignores them (same argument as :func:`_ce_roll_minmax`).
+    The leading `n_keys` arrays are the compare tuple, pre-XORed with the
+    round's direction mask (plus the i32 sign bias on the top column only),
+    so tuple order is "ascending everywhere": the top column keeps
+    min(pair) at first slots via the forward roll and max(pair) at second
+    slots via the backward roll with no decision chain; every other array
+    (lower key columns AND payloads) selects on one lexicographic verdict
+    per roll direction. Garbage lanes of each roll land only on positions
+    whose select branch ignores them (same argument as
+    :func:`_ce_roll_minmax`).
     """
-    yi = jax.lax.bitcast_convert_type(y, jnp.int32)
+    y = jax.lax.bitcast_convert_type(arrs[0], jnp.int32)
+    rest = arrs[1:]
     if j >= LANES:
         m = j // LANES
         first = (rid & m) == 0
-        yf, yb = _roll(yi, -m, 0), _roll(yi, m, 0)
-        sf, sb = _roll(s, -m, 0), _roll(s, m, 0)
+        axis, sh = 0, m
     else:
         first = (cid & j) == 0
-        yf, yb = _roll(yi, -j, 1), _roll(yi, j, 1)
-        sf, sb = _roll(s, -j, 1), _roll(s, j, 1)
-    out_y = jnp.where(first, jnp.minimum(yi, yf), jnp.maximum(yi, yb))
-    tl_f = (yf < yi) | ((yf == yi) & (sf < s))  # fwd partner tuple-less
-    tl_b = (yb < yi) | ((yb == yi) & (sb < s))  # bwd partner tuple-less
-    out_s = jnp.where(
-        first,
-        jnp.where(tl_f, sf, s),  # first slot keeps the tuple-min's rank
-        jnp.where(tl_b, s, sb),  # second slot keeps the tuple-max's rank
+        axis, sh = 1, j
+    yf, yb = _roll(y, -sh, axis), _roll(y, sh, axis)
+    rf = tuple(_roll(a, -sh, axis) for a in rest)
+    rb = tuple(_roll(a, sh, axis) for a in rest)
+    out_y = jnp.where(first, jnp.minimum(y, yf), jnp.maximum(y, yb))
+    ks = n_keys - 1  # lower key columns among `rest`
+    tl_f = _lex_lt((yf, *rf[:ks]), (y, *rest[:ks]))  # fwd partner tuple-less
+    tl_b = _lex_lt((yb, *rb[:ks]), (y, *rest[:ks]))  # bwd partner tuple-less
+    out_rest = tuple(
+        jnp.where(
+            first,
+            jnp.where(tl_f, f, a),  # first slot keeps the tuple-min's row
+            jnp.where(tl_b, a, b),  # second slot keeps the tuple-max's row
+        )
+        for a, f, b in zip(rest, rf, rb)
     )
-    return jax.lax.bitcast_convert_type(out_y, jnp.uint32), out_s
+    return (jax.lax.bitcast_convert_type(out_y, jnp.uint32), *out_rest)
 
 
 def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
@@ -264,10 +281,13 @@ def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
     # keys-only fast path: fold sign bias + per-round direction into the
     # data by XOR and run every CE as signed min/max (see USE_MINMAX_CE)
     fast = USE_MINMAX_CE and n_keys == 1 and n_arr == 1
-    # 2-column fast path — stable (key, rank) or keys-only 64-bit (hi, lo):
-    # fold direction into BOTH arrays so the leading column's CE is pure
-    # min/max and only the second column pays the tuple compare
-    fast2 = USE_FOLD2_CE and distinct and n_keys == 2 and n_arr == 2
+    # folded multi-column fast path — stable (key, rank), keys-only 64-bit
+    # (hi, lo), or any distinct tuple with payloads: fold direction into
+    # every KEY column so the leading column's CE is pure min/max and the
+    # rest select on one lexicographic verdict per roll direction
+    fast2 = distinct and n_keys >= 2 and (
+        USE_FOLD2_CE if n_arr == 2 else USE_FOLD3_CE
+    )
     shape = (kernel_rows, LANES)
     # hoist the index planes: one iota pair per kernel, not per stage
     rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -325,7 +345,13 @@ def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
                     if fast:
                         arrs = (arrs[0] ^ dk,)
                     else:
-                        arrs = (arrs[0] ^ dk, arrs[1] ^ ds)
+                        # top key column carries the bias; the other KEY
+                        # columns fold the direction mask; payloads don't
+                        arrs = (
+                            arrs[0] ^ dk,
+                            *(a ^ ds for a in arrs[1:n_keys]),
+                            *arrs[n_keys:],
+                        )
             else:
                 up = direction(k, transposed)
             prev = (k, transposed)
@@ -336,8 +362,8 @@ def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
                 cid_t if transposed else cid),)
         elif fast2:
             jj = j * LANES if transposed else j
-            arrs = _ce_roll_fold2(
-                arrs[0], arrs[1], jj, rid_t if transposed else rid,
+            arrs = _ce_roll_foldn(
+                arrs, n_keys, jj, rid_t if transposed else rid,
                 cid_t if transposed else cid)
         elif transposed:
             # lane stride j -> sublane stride of j rows on the transposed
@@ -360,8 +386,11 @@ def _stages_kernel(refs, *, n_arr, n_keys, distinct, stages, base_scale,
         arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ dm32(prev[0], False)),)
     elif fast2 and prev[0] is not _unset:
         m_last = dm32(prev[0], False)
-        arrs = (arrs[0] ^ (jnp.uint32(0x80000000) ^ m_last),
-                arrs[1] ^ m_last)
+        arrs = (
+            arrs[0] ^ (jnp.uint32(0x80000000) ^ m_last),
+            *(a ^ m_last for a in arrs[1:n_keys]),
+            *arrs[n_keys:],
+        )
     for o, a in zip(outs, arrs):
         o[:] = a.reshape(o.shape)
 
