@@ -107,6 +107,22 @@ def test_bitonic_breadth_sweep():
     jax.clear_caches()
 
 
+def test_bitonic_folded_fast_path_sweep(monkeypatch):
+    """The randomized matrix with BOTH folded fast paths forced on
+    (USE_FOLD2_CE / USE_FOLD3_CE, ops/bitonic.py): every drawn config must
+    stay byte-exact whichever way the on-chip A/B decides the defaults."""
+    from tpu_radix_sort.ops import bitonic
+
+    monkeypatch.setattr(bitonic, "USE_FOLD2_CE", True)
+    monkeypatch.setattr(bitonic, "USE_FOLD3_CE", True)
+    rng = np.random.default_rng(20260821)
+    for i in range(40):
+        if i % CLEAR_EVERY == 0:
+            jax.clear_caches()
+        _run_config(rng, i, "bitonic")
+    jax.clear_caches()
+
+
 def test_xla_engine_breadth_sweep():
     rng = np.random.default_rng(20260818)
     for i in range(30):
