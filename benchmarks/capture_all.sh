@@ -29,6 +29,6 @@ run() { # name, timeout_s, cmd...
 run headline   1800 python bench.py
 run workloads  7200 python benchmarks/workloads.py
 run crossover  5400 python benchmarks/crossover.py
-run explore_ce 3600 python benchmarks/explore_ce.py
+run explore_ce 5400 python benchmarks/explore_ce.py
 run demo_consecutive 1800 python examples/demo.py --n 16777216 --check-order --consecutive 4
 echo "== capture done; logs in $out =="
