@@ -26,9 +26,12 @@ run() { # name, timeout_s, cmd...
     echo "== $name rc=${PIPESTATUS[0]} =="
 }
 
+# order = marginal evidence value per minute if the tunnel heals late:
+# the driver re-runs bench.py itself at round end, but the crossover table
+# and the fold A/B exist only here; workloads is the longest block
 run headline   1800 python bench.py
-run workloads  7200 python benchmarks/workloads.py
 run crossover  5400 python benchmarks/crossover.py
 run explore_ce 5400 python benchmarks/explore_ce.py
+run workloads  7200 python benchmarks/workloads.py
 run demo_consecutive 1800 python examples/demo.py --n 16777216 --check-order --consecutive 4
 echo "== capture done; logs in $out =="
