@@ -283,3 +283,17 @@ def test_public_sort_mesh_kv_options(rng):
                          descending=True)
     np.testing.assert_array_equal(np.asarray(gk), rk)
     np.testing.assert_array_equal(np.asarray(gv), rv)
+
+
+def test_argsort_over_mesh(rng):
+    """argsort routes through sort(mesh=) (iota payload co-moved as a
+    generic value distributed; the rank-payload fast path is single-chip
+    only) and returns global stable ranks."""
+    import tpu_radix_sort as trs
+
+    mesh = make_mesh(8)
+    n = 2048
+    keys = rng.integers(0, 97, size=n, dtype=np.uint64).astype(np.uint32)
+    order = trs.argsort(sharded(mesh, "x", jnp.asarray(keys)), mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(order), np.argsort(keys, kind="stable").astype(np.uint32))
