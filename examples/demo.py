@@ -30,8 +30,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n", type=int, default=1 << 22,
                    help="element count (reference slider: 1e4..2^24)")
-    p.add_argument("--bit-count", type=int, default=32,
-                   help="bits to sort on, multiple of 4 in 4..32")
+    p.add_argument("--bit-count", type=int, default=None,
+                   help="bits to sort on, multiple of 4 (default: the key "
+                        "width — 32, or 64 with --dtype uint64)")
     p.add_argument("--values", action="store_true",
                    help="sort key+value pairs (default keys-only)")
     p.add_argument("--ranks", action="store_true",
@@ -75,8 +76,8 @@ def main():
         p.error("--packed records are u32 pairs; --dtype uint64 unsupported")
     if wide:
         jax.config.update("jax_enable_x64", True)
-        if args.bit_count == 32:
-            args.bit_count = 64  # default follows the key width
+    if args.bit_count is None:
+        args.bit_count = 64 if wide else 32  # default: the key width
 
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)

@@ -1,8 +1,9 @@
 """Batched per-row sorts (`sort_batched` / `argsort_batched`) vs NumPy.
 
 Extension past the reference (single flat buffer per sort): each row of a
-(B, n) array sorts independently via a composite (row_id, key) lexicographic
-key through the same engine (`ops/batched.py`). Oracle: NumPy stable
+(B, n) array sorts independently through the row-local bitonic network
+(`ops/bitonic.py sort_rows_padded` — rounds capped at the row length, the
+final merge forced ascending; see `ops/batched.py`). Oracle: NumPy stable
 per-row sort/argsort.
 """
 import jax.numpy as jnp

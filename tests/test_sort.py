@@ -249,6 +249,17 @@ def test_input_validation():
         trs.sort(jnp.zeros(8, jnp.uint32), jnp.zeros(4, jnp.uint32))
     with pytest.raises(ValueError):
         trs.sort(jnp.zeros(8, jnp.uint32), method="bogus")
+    # 64-bit host arrays with x64 off would be silently truncated by
+    # asarray: every 64-bit-accepting entrypoint must refuse instead
+    k64 = np.zeros(8, np.uint64)
+    for fn in (lambda: trs.sort(k64),
+               lambda: trs.argsort(k64),
+               lambda: trs.sort_batched(k64.reshape(2, 4)),
+               lambda: trs.sort_segments(k64, jnp.asarray([0, 8])),
+               lambda: trs.is_sorted(k64),
+               lambda: trs.disorder_count(k64)):
+        with pytest.raises(TypeError, match="x64"):
+            fn()
 
 
 def test_transposed_lane_stage_path(rng, monkeypatch):

@@ -51,6 +51,7 @@ def sort_batched(
     (e.g. a per-row iota — the argsort payload): the payload then doubles
     as the stability tie-break. Returns keys or (keys, values), same shape.
     """
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 2:
         raise ValueError("sort_batched expects a 2-D (batch, n) key array")
@@ -95,6 +96,7 @@ def argsort_batched(keys, **kwargs):
     The per-row iota payload satisfies the batched rank contract, so this
     always takes the rank-payload path — no separate index column.
     """
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 2:
         raise ValueError("argsort_batched expects a 2-D (batch, n) key array")

@@ -159,32 +159,20 @@ def disorder_count_cols(cols, *, interpret=None) -> jax.Array:
 
 def is_sorted_cols(cols, *, interpret=None) -> jax.Array:
     """Fast-gated order check on a lexicographic column tuple (the 64-bit
-    analogue of :func:`is_sorted`; same fast-window-then-rest structure)."""
-    if len(cols) == 1:
-        u = cols[0]
-        n = u.shape[0]
-        f = min(n, FAST_CHECK_ELEMENTS)
-        fast_ok = disorder_count(u[:f], interpret=interpret) == 0
-        if f >= n:
-            return fast_ok
-        return jax.lax.cond(
-            fast_ok,
-            lambda: disorder_count(
-                jax.lax.slice(u, (f - 1,), (n,)), interpret=interpret
-            ) == 0,
-            lambda: jnp.bool_(False),
-        )
-    a, b = cols
-    n = a.shape[0]
+    analogue of :func:`is_sorted`; same fast-window-then-rest structure —
+    one implementation for any column count)."""
+    n = cols[0].shape[0]
     f = min(n, FAST_CHECK_ELEMENTS)
-    fast_ok = disorder_count_cols((a[:f], b[:f]), interpret=interpret) == 0
+    fast_ok = disorder_count_cols(
+        tuple(c[:f] for c in cols), interpret=interpret
+    ) == 0
     if f >= n:
         return fast_ok
+    # include the boundary pair by starting at f - 1
     return jax.lax.cond(
         fast_ok,
         lambda: disorder_count_cols(
-            (jax.lax.slice(a, (f - 1,), (n,)),
-             jax.lax.slice(b, (f - 1,), (n,))),
+            tuple(jax.lax.slice(c, (f - 1,), (n,)) for c in cols),
             interpret=interpret,
         ) == 0,
         lambda: jnp.bool_(False),
@@ -240,6 +228,7 @@ def disorder_count(
             u, mesh=mesh, axis_name=axis_name, count=count,
             bit_count=bit_count, interpret=interpret,
         )
+    common.guard_64bit_downcast(u)
     u = jnp.asarray(u)
     if common.is_64bit_key_dtype(u.dtype):
         cols = _as_check_key_cols(u, 64 if bit_count is None else bit_count)
@@ -297,6 +286,7 @@ def is_sorted(
             u, mesh=mesh, axis_name=axis_name, count=count,
             bit_count=bit_count, interpret=interpret,
         )
+    common.guard_64bit_downcast(u)
     u = jnp.asarray(u)
     if common.is_64bit_key_dtype(u.dtype):
         cols = _as_check_key_cols(u, 64 if bit_count is None else bit_count)

@@ -131,6 +131,24 @@ def is_64bit_key_dtype(dtype) -> bool:
     return jnp.dtype(dtype).name in SUPPORTED_KEY_DTYPES_64
 
 
+def guard_64bit_downcast(raw) -> None:
+    """Raise if `raw` carries a 64-bit key dtype that `jnp.asarray` would
+    silently truncate because jax x64 mode is off.
+
+    Must run on the RAW input, before any asarray: with x64 disabled the
+    downcast is silent (uint64 -> uint32 drops the hi word) and the sort
+    would return wrong data with no error. A jnp array can only carry a
+    64-bit dtype when x64 is on, so this fires exactly on host arrays.
+    """
+    dt = getattr(raw, "dtype", None)
+    if is_64bit_key_dtype(dt) and not jax.config.jax_enable_x64:
+        raise TypeError(
+            f"keys have 64-bit dtype {dt} but jax x64 mode is disabled — "
+            "jnp.asarray would silently truncate them to 32 bits. Enable "
+            "it first: jax.config.update('jax_enable_x64', True)"
+        )
+
+
 def _split_u64(u):
     """u64 -> (hi, lo) u32 columns. Lexicographic (hi, lo) == u64 order."""
     hi = jax.lax.convert_element_type(u >> jnp.uint64(32), jnp.uint32)

@@ -52,6 +52,7 @@ def sort_segments(
     viewed as u32, is strictly increasing with every element < 0xFFFFFFFF.
     Returns keys or (keys, values), same shape.
     """
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("sort_segments expects a 1-D key array")
@@ -90,24 +91,43 @@ def sort_segments(
         descending=descending,
         total_order=total_order,
         values_are_ranks=values_are_ranks and values is not None,
+        make_ranks=False,
         method="bitonic" if method == "auto" else method,
         block_rows=block_rows,
         interpret=interpret,
     )
 
 
-def argsort_segments(keys, offsets, **kwargs):
+def argsort_segments(keys, offsets, *, bit_count=None, descending=False,
+                     total_order=False, method="auto", block_rows=None,
+                     interpret=None):
     """Per-segment stable ranks (positions within the segment each element
     sorts to). The position-minus-segment-start payload satisfies the
-    segmented rank contract, so this takes the rank-payload path."""
+    segmented rank contract; it is built INSIDE the jitted core from the
+    segment-id map the sort computes anyway (one searchsorted, not two)."""
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("argsort_segments expects a 1-D key array")
     offsets = jnp.asarray(offsets)
-    n = keys.shape[0]
-    pos = jnp.arange(n, dtype=jnp.uint32)
-    seg = _segment_ids(offsets, n)
-    ranks = pos - offsets[seg].astype(jnp.uint32)
-    kwargs.setdefault("values_are_ranks", True)
-    return sort_segments(keys, offsets, ranks, **kwargs)[1]
+    wide = common.is_64bit_key_dtype(keys.dtype)
+    if bit_count is None:
+        bit_count = 64 if wide else 32
+    if interpret is None:
+        interpret = common.default_interpret()
+    return _sort_segments_jit(
+        keys,
+        offsets,
+        None,
+        bit_count=bit_count,
+        descending=descending,
+        total_order=total_order,
+        values_are_ranks=True,
+        make_ranks=True,
+        method="bitonic" if method == "auto" else method,
+        block_rows=block_rows,
+        interpret=interpret,
+    )[1]
 
 
 def _segment_ids(offsets, n):
@@ -126,6 +146,7 @@ def _segment_ids(offsets, n):
         "descending",
         "total_order",
         "values_are_ranks",
+        "make_ranks",
         "method",
         "block_rows",
         "interpret",
@@ -140,13 +161,17 @@ def _sort_segments_jit(
     descending,
     total_order,
     values_are_ranks,
+    make_ranks,
     method,
     block_rows,
     interpret,
 ):
     n = keys.shape[0]
     S = offsets.shape[0] - 1
+    have_values = values is not None or make_ranks
     if n <= 1:
+        if make_ranks:
+            return keys, jnp.zeros((n,), jnp.uint32)
         return keys if values is None else (keys, values)
 
     if wide := common.is_64bit_key_dtype(keys.dtype):
@@ -183,13 +208,22 @@ def _sort_segments_jit(
     else:
         key_cols = (seg, *mk_cols)
 
+    # per-segment ranks built from the seg map the sort needs anyway
+    # (argsort_segments: one searchsorted total, not two)
+    ranks = None
+    if make_ranks:
+        pos = jnp.arange(n, dtype=jnp.uint32)
+        ranks = pos - offsets[seg.astype(jnp.int32)].astype(jnp.uint32)
+
     carry_full = masked or descending
-    stable = carry_full or values is not None
+    stable = carry_full or have_values
 
     if method == "xla":
         payloads = list(full_cols) if carry_full else []
-        if values is not None:
-            payloads.append(jax.lax.bitcast_convert_type(values, jnp.uint32))
+        if have_values:
+            payloads.append(
+                ranks if make_ranks
+                else jax.lax.bitcast_convert_type(values, jnp.uint32))
         out = jax.lax.sort(
             (*key_cols, *payloads), num_keys=len(key_cols), is_stable=stable,
         )
@@ -200,15 +234,16 @@ def _sort_segments_jit(
             # unmasked ascending (masked/descending always carry), so the
             # segment id is always a separate leading column here
             sorted_cols = out[1: 1 + len(full_cols)]
-        v_sorted = out[-1] if values is not None else None
+        v_sorted = out[-1] if have_values else None
     else:
         payloads = []
-        rank_tie = values_are_ranks and values is not None
+        rank_tie = values_are_ranks and have_values
         if carry_full:
             payloads += list(full_cols)
         v_u32 = None
-        if values is not None:
-            v_u32 = jax.lax.bitcast_convert_type(values, jnp.uint32)
+        if have_values:
+            v_u32 = (ranks if make_ranks
+                     else jax.lax.bitcast_convert_type(values, jnp.uint32))
             if not rank_tie:
                 payloads.append(v_u32)
         tie = v_u32 if rank_tie else ("iota" if stable else None)
@@ -224,7 +259,7 @@ def _sort_segments_jit(
             # unmasked ascending (masked/descending always carry), so the
             # segment id is always a separate leading column here
             sorted_cols = out[1: 1 + len(full_cols)]
-        if values is None:
+        if not have_values:
             v_sorted = None
         elif rank_tie:
             v_sorted = out[nk]
@@ -243,6 +278,8 @@ def _sort_segments_jit(
             out_keys = common.from_total_order_u32(u, keys.dtype)
         else:
             out_keys = common.from_sortable_u32(u, keys.dtype)
-    if values is None:
+    if not have_values:
         return out_keys
+    if make_ranks:
+        return out_keys, v_sorted  # already uint32 ranks
     return out_keys, jax.lax.bitcast_convert_type(v_sorted, values.dtype)

@@ -254,6 +254,7 @@ def sort(
             interpret=interpret,
         )
 
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
@@ -434,6 +435,7 @@ def argsort(keys, **kwargs):
     """Indices that stably sort keys (reference pattern: values = iota,
     `example/tests.ts:38`). The iota payload provably satisfies the
     `values_are_ranks` contract, so argsort always takes the 2-array path."""
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     kwargs.setdefault("values_are_ranks", True)

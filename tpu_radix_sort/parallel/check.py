@@ -116,6 +116,7 @@ def _prep_check_input(u, *, count, bit_count, mesh, axis_name):
     one column for 32-bit keys, (hi, lo) for 64-bit dtypes."""
     from ..ops import common
 
+    common.guard_64bit_downcast(u)
     u = jnp.asarray(u)
     if common.is_64bit_key_dtype(u.dtype):
         cols = checksort._as_check_key_cols(

@@ -183,6 +183,7 @@ def mesh_sort(
     sub-chunks so transfers overlap the compare-selects (output is
     byte-identical to S == 1; S must divide the padded per-shard length).
     """
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")

@@ -285,10 +285,11 @@ def exchange_sort(
     XLA:CPU has no ragged-all-to-all thunk), None = True exactly when the
     mesh devices are not CPU.
     """
+    common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
-    if common.is_64bit_key_dtype(keys.dtype):
+    if common.is_64bit_key_dtype(getattr(keys, "dtype", None)):
         raise TypeError(
             "64-bit keys support the compare-split strategy (mesh_sort); "
             "the radix exchange splitter is 32-bit-only"
