@@ -87,9 +87,11 @@ USE_MINMAX_CE = True
 # key output then needs no decision chain at all — min via the fwd roll at
 # first slots, max via the bwd roll at second slots — and only the rank pays
 # a lexicographic compare per roll direction. Candidate from round-3 VERDICT
-# item 6 (benchmarks/explore_ce.py `fold2minmax` row); OFF until the on-chip
-# A/B shows it beating `_ce_roll`'s 2-array path. Byte-exactness is pinned
-# either way by tests/test_sort.py::test_fold2_stable_path.
+# item 6 (benchmarks/explore_ce.py `fold2minmax` row). MEASURED DEAD END
+# (on-chip A/B 2026-08-18): 106.8 vs 102.3 us/stage baseline — the rank's
+# per-roll-direction lexicographic compare costs more than the dropped key
+# decision chain saves. Stays OFF; byte-exactness pinned either way by
+# tests/test_sort.py::test_fold2_stable_path.
 USE_FOLD2_CE = False
 # The same fold for >= 3 arrays (generic k+v, masked keys, 64-bit stable):
 # every KEY column XORs the direction mask (payloads don't — they aren't
@@ -97,7 +99,8 @@ USE_FOLD2_CE = False
 # payloads select on one lexicographic verdict per roll direction.
 # Candidate from the explore_ce `fold3minmax` row; gated separately from
 # USE_FOLD2_CE because the win need not transfer (payload columns pay one
-# extra select each). Byte-exactness pinned by
+# extra select each). MEASURED DEAD END too (2026-08-18): 141.2 vs
+# 132.1 us/stage baseline. Stays OFF; byte-exactness pinned by
 # tests/test_sort.py::test_fold2_stable_path (foldn cases).
 USE_FOLD3_CE = False
 
