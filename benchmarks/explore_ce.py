@@ -306,7 +306,13 @@ def bench_engine_fold2(n=1 << 26):
                 ok, ov = f(k, v)
                 np.asarray(ok[:1])
                 compile_s = time.time() - t0
-                t = device_time(lambda kk: f(kk, v)[0], k, k_lo=2, k_hi=10)
+                # k_hi=3, not 10: each chained iteration unrolls the FULL
+                # 64M pipeline into the HLO, and the remote-compile helper
+                # rejects >~N-stage bodies outright (HTTP 413, observed
+                # 2026-08-18 at k_hi=10; bench.py's k_hi=3 compiles). At
+                # ~130 ms/op the 2-iteration delta is ~260 ms, far above
+                # the ~1 ms sync noise, so short chains are exact here.
+                t = device_time(lambda kk: f(kk, v)[0], k, k_lo=1, k_hi=3)
                 kind = "rank-payload" if ranks else "generic     "
                 name = (f"engine 64M k+v {kind} "
                         f"{attr[4:9].lower()}={'ON ' if flag else 'OFF'}")

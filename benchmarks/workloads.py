@@ -20,21 +20,31 @@ from tpu_radix_sort.models.golden import golden_sort
 from tpu_radix_sort.runtime import device_time
 
 
-def bench(name, fn, x, n, check=None):
-    f = jax.jit(fn)
-    out = f(x)
-    if check is not None:
-        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(out)]
-        ok = check(leaves)
-    else:
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        ok = True
-    # few-ms ops auto-escalate to a longer chain inside device_time
-    # (runtime/timing.py): the fixed ~25-30 ms host-sync cost would swamp
-    # a 2-iteration delta
-    t = device_time(f, x, k_lo=1, k_hi=3)
-    print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
-          flush=True)
+def bench(name, fn, x, n, check=None, time_fn=None):
+    """One golden-checked row. `fn` is checked once un-chained; timing uses
+    `time_fn` when given — required when `fn` is not endomorphic (the chain
+    in device_time is a fori_loop whose carry is the input, so output types
+    must equal input types; a bool-returning check op needs a same-typed
+    wrapper that still data-depends on the op's result). Rows fail soft so
+    one bad row cannot kill the whole capture block."""
+    try:
+        f = jax.jit(fn)
+        out = f(x)
+        if check is not None:
+            leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(out)]
+            ok = check(leaves)
+        else:
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            ok = True
+        # few-ms ops auto-escalate to a longer chain inside device_time
+        # (runtime/timing.py): the fixed ~25-30 ms host-sync cost would swamp
+        # a 2-iteration delta
+        t = device_time(jax.jit(time_fn) if time_fn is not None else f,
+                        x, k_lo=1, k_hi=3)
+        print(f"{name:48s} {t*1e3:9.3f} ms  {n/t/1e9:7.3f} Gkeys/s  ok={ok}",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — capture block must keep going
+        print(f"{name:48s} FAILED: {type(e).__name__}: {e}", flush=True)
 
 
 def main():
