@@ -136,9 +136,13 @@ def main():
     n = (1 << 24) + 4096 + 128
     so = np.sort(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))
     soj = jnp.asarray(so)
+    # timing chain needs a same-typed carry (fori_loop endomorphism), so the
+    # bool verdict folds back into the array: XOR with verdict*0 is a no-op
+    # on the data but keeps the check on the dependency path (ADVICE r4 #1)
     bench("16M+4K u32 is_sorted (non-multiple, Pallas path)",
           lambda a: trs.is_sorted(a), soj, n,
-          check=lambda ls: bool(ls[0]))
+          check=lambda ls: bool(ls[0]),
+          time_fn=lambda a: a ^ (trs.is_sorted(a).astype(jnp.uint32) * 0))
     del so, soj
 
     # the exchange strategy's local phase 4 (round-2 VERDICT item 2):
