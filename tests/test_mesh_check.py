@@ -91,3 +91,35 @@ def test_mesh_check_jits(rng):
     assert bool(f(sharded(mesh, "x", jnp.asarray(srt))))
     g = jax.jit(lambda a: mesh_disorder_count(a, mesh=mesh))
     assert int(g(sharded(mesh, "x", jnp.asarray(srt)))) == 0
+
+
+def test_mesh_check_flags(rng):
+    """total_order / descending on the distributed checks (round-4 VERDICT
+    item 2): the mesh checks verify the same key views the mesh sorts
+    produce, matching single-chip bit-for-bit."""
+    mesh = make_mesh(8)
+    n = 4096
+    f = rng.standard_normal(n).astype(np.float32)
+    s_to = np.asarray(trs.sort(jnp.asarray(f), total_order=True))
+    assert bool(trs.is_sorted(sharded(mesh, "x", jnp.asarray(s_to)),
+                              mesh=mesh, total_order=True))
+    assert not bool(trs.is_sorted(sharded(mesh, "x", jnp.asarray(s_to)),
+                                  mesh=mesh))
+    k = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    s_d = np.sort(k)[::-1].copy()
+    assert bool(trs.is_sorted(sharded(mesh, "x", jnp.asarray(s_d)),
+                              mesh=mesh, descending=True))
+    got = trs.disorder_count(sharded(mesh, "x", jnp.asarray(s_d)),
+                             mesh=mesh, descending=True)
+    assert int(got) == 0
+    # unflagged distributed count matches the single-chip flagged view
+    got_up = trs.disorder_count(sharded(mesh, "x", jnp.asarray(s_d)),
+                                mesh=mesh)
+    ref_up = trs.disorder_count(jnp.asarray(s_d))
+    assert int(got_up) == int(ref_up) > 0
+    # flags compose with count across shard boundaries
+    bad = np.concatenate([s_d[: n // 2], s_d[: n // 2]])
+    assert not bool(trs.is_sorted(sharded(mesh, "x", jnp.asarray(bad)),
+                                  mesh=mesh, descending=True))
+    assert bool(trs.is_sorted(sharded(mesh, "x", jnp.asarray(bad)),
+                              mesh=mesh, descending=True, count=n // 2))

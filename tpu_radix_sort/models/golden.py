@@ -130,19 +130,59 @@ def golden_prefix_sum(items: np.ndarray, *, count: int | None = None) -> np.ndar
     return out
 
 
+def _total_order_u32(keys: np.ndarray) -> np.ndarray:
+    """NumPy mirror of ``ops/common.to_total_order_u32`` (true total order
+    for signed/negative values — repo extension past the reference)."""
+    keys = np.asarray(keys)
+    if keys.dtype == np.uint32:
+        return keys
+    if keys.dtype == np.int32:
+        return keys.view(np.uint32) ^ np.uint32(0x80000000)
+    if keys.dtype == np.float32:
+        u = keys.view(np.uint32)
+        flip = np.where(
+            (u >> np.uint32(31)) == 1,
+            np.uint32(0xFFFFFFFF), np.uint32(0x80000000),
+        )
+        return u ^ flip
+    raise TypeError(f"unsupported key dtype {keys.dtype}")
+
+
+def _total_order_u64(keys: np.ndarray) -> np.ndarray:
+    """NumPy mirror of ``ops/common.to_total_order_u64_cols`` (joined)."""
+    keys = np.asarray(keys)
+    if keys.dtype == np.uint64:
+        return keys
+    if keys.dtype == np.int64:
+        return keys.view(np.uint64) ^ np.uint64(0x8000000000000000)
+    if keys.dtype == np.float64:
+        u = keys.view(np.uint64)
+        flip = np.where(
+            (u >> np.uint64(63)) == 1,
+            np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0x8000000000000000),
+        )
+        return u ^ flip
+    raise TypeError(f"unsupported key dtype {keys.dtype}")
+
+
 def golden_is_sorted(keys: np.ndarray, *, count: int | None = None,
-                     bit_count: int | None = None) -> bool:
-    """Adjacent-pair order check over the sorted-by bit pattern.
+                     bit_count: int | None = None,
+                     total_order: bool = False,
+                     descending: bool = False) -> bool:
+    """Adjacent-pair order check over the sorted-by key view.
 
     Mirrors the check-sort reduction: disorder = sum of (k[i] > k[i+1])
     (``src/shaders/CheckSort.ts:102-113``). 64-bit key dtypes check the
-    u64 bit pattern (bit_count then defaults to 64).
+    u64 bit pattern (bit_count then defaults to 64). `total_order` /
+    `descending` check under the correspondingly-flagged sort's key view
+    (bijection, mask, then flip — exactly the sort's mkeys pipeline).
     """
     keys = np.asarray(keys)
     n = keys.shape[0] if count is None else int(count)
     if _is_64bit(keys):
         bit_count = 64 if bit_count is None else bit_count
-        u = _bit_pattern_u64(keys)[:n]
+        u = (_total_order_u64(keys) if total_order
+             else _bit_pattern_u64(keys))[:n]
         mask = (
             np.uint64(0xFFFFFFFFFFFFFFFF)
             if bit_count == 64
@@ -150,11 +190,14 @@ def golden_is_sorted(keys: np.ndarray, *, count: int | None = None,
         )
     else:
         bit_count = 32 if bit_count is None else bit_count
-        u = _bit_pattern_u32(keys)[:n]
+        u = (_total_order_u32(keys) if total_order
+             else _bit_pattern_u32(keys))[:n]
         mask = (
             np.uint32(0xFFFFFFFF)
             if bit_count == 32
             else np.uint32((1 << bit_count) - 1)
         )
     u = u & mask
+    if descending:
+        u = u ^ mask
     return bool(np.all(u[:-1] <= u[1:])) if n > 1 else True

@@ -110,22 +110,27 @@ def _shard_disorder(cols, *, axis_name, n_dev, count, interpret):
     return jax.lax.psum(bad, axis_name)
 
 
-def _prep_check_input(u, *, count, bit_count, mesh, axis_name):
+def _prep_check_input(u, *, count, bit_count, mesh, axis_name,
+                      total_order=False, descending=False):
     """Shared validation + key-view + SENTINEL pad for the public mesh
     checks. Returns (tuple of u32 columns of length round_up(n, D), count) —
-    one column for 32-bit keys, (hi, lo) for 64-bit dtypes."""
+    one column for 32-bit keys, (hi, lo) for 64-bit dtypes. The
+    `total_order`/`descending` flags select the same key view the
+    correspondingly-flagged sort ordered by."""
     from ..ops import common
 
     common.guard_64bit_downcast(u)
     u = jnp.asarray(u)
     if common.is_64bit_key_dtype(u.dtype):
         cols = checksort._as_check_key_cols(
-            u, 64 if bit_count is None else bit_count
+            u, 64 if bit_count is None else bit_count,
+            total_order=total_order, descending=descending,
         )
     else:
         bit_count = 32 if bit_count is None else bit_count
         common.validate_bit_count(bit_count)
-        cols = (checksort._as_check_key(u, bit_count),)
+        cols = (checksort._as_check_key(
+            u, bit_count, total_order=total_order, descending=descending),)
     n = cols[0].shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
@@ -139,18 +144,22 @@ def _prep_check_input(u, *, count, bit_count, mesh, axis_name):
 
 
 def mesh_disorder_count(u, *, mesh, axis_name="x", count=None,
-                        bit_count: int | None = None, interpret=None):
+                        bit_count: int | None = None,
+                        total_order: bool = False, descending: bool = False,
+                        interpret=None):
     """Distributed adjacent-inversion count of the first `count` keys.
 
     Public mesh lift of :func:`tpu_radix_sort.disorder_count` (the
     reference's CheckSort reduction, `src/shaders/CheckSort.ts:70-113`):
     per-shard streaming Pallas reductions + one edge-element `ppermute` +
-    one `psum`. Same `count`/`bit_count`/dtype semantics as single-chip.
+    one `psum`. Same `count`/`bit_count`/`total_order`/`descending`/dtype
+    semantics as single-chip.
     """
     from ..ops import common
 
     cols, count = _prep_check_input(
-        u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name
+        u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name,
+        total_order=total_order, descending=descending,
     )
     if count < 2:
         return jnp.uint32(0)
@@ -174,18 +183,22 @@ def mesh_disorder_count(u, *, mesh, axis_name="x", count=None,
 
 
 def mesh_is_sorted(u, *, mesh, axis_name="x", count=None,
-                   bit_count: int | None = None, interpret=None):
+                   bit_count: int | None = None,
+                   total_order: bool = False, descending: bool = False,
+                   interpret=None):
     """Distributed fast-gated order check of the first `count` keys.
 
     Public mesh lift of :func:`tpu_radix_sort.is_sorted`: each shard runs
     the fast(1024)-gated local check, boundary pairs ride one `ppermute`,
     verdicts combine in one `psum` (same machinery that gates the
-    distributed sorts' `check_order=True`).
+    distributed sorts' `check_order=True`). `total_order`/`descending`
+    select the correspondingly-flagged sort's key view.
     """
     from ..ops import common
 
     cols, count = _prep_check_input(
-        u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name
+        u, count=count, bit_count=bit_count, mesh=mesh, axis_name=axis_name,
+        total_order=total_order, descending=descending,
     )
     if count < 2:
         return jnp.bool_(True)
