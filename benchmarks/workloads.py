@@ -204,6 +204,57 @@ def main():
               ls[0], np.full(n, 0x9E3779B9, np.uint32)))
     del k16, rk16, ke16
 
+    # 64M radix golden gate (round-4 VERDICT item 4): the reorder kernel's
+    # SMEM offset prefetch + window-DMA slack math (ops/radix.py:262-268)
+    # executed at the headline scale, not just asserted to 2^31
+    n = 1 << 26
+    k64m_np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    k64m = jnp.asarray(k64m_np)
+    rk64m = np.sort(k64m_np)
+    bench("64M u32 keys-only, method='radix' (golden gate)",
+          lambda a: trs.sort(a, method="radix"), k64m, n,
+          check=lambda ls: np.array_equal(ls[0], rk64m))
+    del k64m, rk64m, k64m_np
+
+    # segmented (ragged) sorts on chip (round-4 VERDICT item 3): golden +
+    # perf, incl. pricing the composite key against the row-local optimum
+    # on equal segments (the measured decision the docstring used to argue)
+    n = 1 << 24
+    S = 4096
+    w = rng.zipf(1.3, S).astype(np.float64)
+    sizes = np.maximum(1, (w / w.sum() * n).astype(np.int64))
+    sizes[0] += n - sizes.sum()  # exact tiling; head is the hot bucket
+    assert sizes[0] >= 1 and sizes.sum() == n
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    kseg = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    seg_ids = np.repeat(np.arange(S), sizes)
+    ref_seg = kseg[np.lexsort((kseg, seg_ids))]
+    oj = jnp.asarray(offs)
+    bench("16M u32 segmented S=4096 ragged Zipf (composite)",
+          lambda a: trs.sort_segments(a, oj), jnp.asarray(kseg), n,
+          check=lambda ls: np.array_equal(ls[0], ref_seg))
+    S2, L2 = 1024, (1 << 24) // 1024
+    offs2 = jnp.asarray(np.arange(S2 + 1, dtype=np.int32) * L2)
+    ref_eq = np.sort(kseg.reshape(S2, L2), axis=1)
+    bench("16M u32 segmented S=1024 equal (composite)",
+          lambda a: trs.sort_segments(a, offs2), jnp.asarray(kseg), n,
+          check=lambda ls: np.array_equal(ls[0].reshape(S2, L2), ref_eq))
+    bench("16M u32 batched 1024x16K (row-local, same data)",
+          lambda a: trs.sort_batched(a), jnp.asarray(kseg.reshape(S2, L2)), n,
+          check=lambda ls: np.array_equal(ls[0], ref_eq))
+    del kseg, ref_seg, ref_eq, seg_ids
+
+    # 16-bit keys: bfloat16 — the TPU-native dtype (round-4 VERDICT item 6;
+    # the full u16 candidate A/B lives in explore_keys16.py)
+    import ml_dtypes
+    n = 1 << 24
+    kbf = rng.standard_normal(n).astype(ml_dtypes.bfloat16)
+    ref_bf = np.sort(kbf).view(np.uint16)
+    bench("16M bf16 keys-only total_order (widened u16)",
+          lambda a: trs.sort(a, total_order=True), jnp.asarray(kbf), n,
+          check=lambda ls: np.array_equal(ls[0].view(np.uint16), ref_bf))
+    del kbf, ref_bf
+
     # past the reference's ceiling: its default WebGPU limits cap at 2^26
     # elements (maxBufferSize, README.md:100-106); one v5e chip does 2^27+
     n = 1 << 27
@@ -277,6 +328,19 @@ def main():
               check=lambda ls: np.array_equal(ls[0], ref64)
               and np.array_equal(ls[1], order64))
         del k64, v64, ref64, order64, k64np
+        # 64-bit value payloads (round-4 VERDICT item 7): u32 keys carrying
+        # an 8-byte payload as an (hi, lo) u32 column pair — same engine,
+        # one extra moved column vs a u32 payload
+        kv_np = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        vv_np = rng.integers(0, 2**64, n, dtype=np.uint64)
+        ordv = np.argsort(kv_np, kind="stable")
+        rkv, rvv = kv_np[ordv], vv_np[ordv]
+        bench("16M u32 keys + u64 values ((hi,lo) payload)",
+              lambda kv: tuple(trs.sort(*kv)),
+              (jnp.asarray(kv_np), jnp.asarray(vv_np)), n,
+              check=lambda ls: np.array_equal(ls[0], rkv)
+              and np.array_equal(ls[1], rvv))
+        del kv_np, vv_np, ordv, rkv, rvv
     finally:
         jax.config.update("jax_enable_x64", False)
         jax.clear_caches()

@@ -63,18 +63,14 @@ def main():
                         "(prefix_sum/is_sorted/disorder_count with mesh=)")
     p.add_argument("--dtype", default="uint32",
                    choices=["uint32", "uint64"],
-                   help="key dtype; uint64 runs the (hi, lo, idx) column "
-                        "tuple through the compare-split strategy "
-                        "(the exchange splitter is 32-bit-only)")
+                   help="key dtype; uint64 runs (hi, lo, idx) column "
+                        "tuples through either strategy (the exchange "
+                        "splitter bisects the joined u64 domain)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     wide = args.dtype == "uint64"
-    if wide and args.strategy == "exchange":
-        p.error("--dtype uint64 supports --strategy mesh (the exchange "
-                "splitter bisection is 32-bit-only)")
     if wide:
         jax.config.update("jax_enable_x64", True)
-        args.strategy = "mesh"
 
     cpus = jax.devices("cpu")
     if len(cpus) < args.devices:

@@ -74,11 +74,6 @@ class RadixSortKernel:
             bit_count = 64 if wide else 32
         if wide:
             common.validate_bit_count_64(bit_count)
-            if mesh is not None and method == "exchange":
-                raise TypeError(
-                    "64-bit keys support method='mesh' (compare-split) on "
-                    "a mesh; the radix exchange splitter is 32-bit-only"
-                )
         else:
             common.validate_bit_count(bit_count)
         del local_shuffle, avoid_bank_conflicts  # accepted, ignored (see docstring)

@@ -55,6 +55,35 @@ def _is_64bit(keys: np.ndarray) -> bool:
     return np.asarray(keys).dtype in (np.uint64, np.int64, np.float64)
 
 
+def _is_16bit(keys: np.ndarray) -> bool:
+    """16-bit key dtypes (repo extension): uint16/int16/float16, plus
+    bfloat16 via ml_dtypes (numpy sees it as a 2-byte 'V'-kind scalar)."""
+    dt = np.asarray(keys).dtype
+    return dt.itemsize == 2 and (
+        dt.kind in "uif" or dt.name == "bfloat16"
+    )
+
+
+def _bit_pattern_u16_widened(keys: np.ndarray) -> np.ndarray:
+    """16-bit keys' u16 bit pattern, widened to u32 (the check/sort view)."""
+    return np.asarray(keys).view(np.uint16).astype(np.uint32)
+
+
+def _total_order_u16_widened(keys: np.ndarray) -> np.ndarray:
+    """NumPy mirror of the 16-bit branch of ``common.to_total_order_u32``."""
+    keys = np.asarray(keys)
+    u = _bit_pattern_u16_widened(keys)
+    if keys.dtype.kind == "u":
+        return u
+    if keys.dtype.kind == "i":
+        return u ^ np.uint32(0x8000)
+    # float16 / bfloat16: sign bit at 15 either way
+    flip = np.where(
+        (u >> np.uint32(15)) == 1, np.uint32(0xFFFF), np.uint32(0x8000)
+    )
+    return u ^ flip
+
+
 def golden_sort(
     keys: np.ndarray,
     values: np.ndarray | None = None,
@@ -75,12 +104,13 @@ def golden_sort(
     if not (0 <= n <= keys.shape[0]):
         raise ValueError(f"count {n} out of range for buffer of {keys.shape[0]}")
     wide = _is_64bit(keys)
-    hi_bit = 64 if wide else 32
+    hi_bit = 64 if wide else (16 if _is_16bit(keys) else 32)
     if bit_count is None:
         bit_count = hi_bit  # default follows the key width (like trs.sort)
     if not (4 <= bit_count <= hi_bit) or bit_count % 4 != 0:
         # reference: bit_count must be a multiple of 4 in [4, 32]
-        # (README.md:97); 64-bit keys extend the range to [4, 64]
+        # (README.md:97); 64-bit keys extend the range to [4, 64],
+        # 16-bit keys cap it at [4, 16]
         raise ValueError(f"bit_count must be a multiple of 4 in [4, {hi_bit}]")
 
     if wide:
@@ -91,7 +121,8 @@ def golden_sort(
             else np.uint64((1 << bit_count) - 1)
         )
     else:
-        u = _bit_pattern_u32(keys)
+        u = (_bit_pattern_u16_widened(keys) if hi_bit == 16
+             else _bit_pattern_u32(keys))
         mask = (
             np.uint32(0xFFFFFFFF)
             if bit_count == 32
@@ -188,6 +219,11 @@ def golden_is_sorted(keys: np.ndarray, *, count: int | None = None,
             if bit_count == 64
             else np.uint64((1 << bit_count) - 1)
         )
+    elif _is_16bit(keys):
+        bit_count = 16 if bit_count is None else bit_count
+        u = (_total_order_u16_widened(keys) if total_order
+             else _bit_pattern_u16_widened(keys))[:n]
+        mask = np.uint32((1 << bit_count) - 1)
     else:
         bit_count = 32 if bit_count is None else bit_count
         u = (_total_order_u32(keys) if total_order

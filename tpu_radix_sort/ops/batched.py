@@ -59,17 +59,24 @@ def sort_batched(
     if wide:
         bit_count = 64 if bit_count is None else bit_count
         common.validate_bit_count_64(bit_count)
-    elif keys.dtype in (jnp.uint32, jnp.float32, jnp.int32):
-        bit_count = 32 if bit_count is None else bit_count
-        common.validate_bit_count(bit_count)
+    elif (keys.dtype in (jnp.uint32, jnp.float32, jnp.int32)
+          or common.is_16bit_key_dtype(keys.dtype)):
+        if bit_count is None:
+            bit_count = common.native_key_bits(keys.dtype)
+        common.validate_bit_count_for(keys.dtype, bit_count)
     else:
         raise TypeError(f"unsupported key dtype {keys.dtype}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
-        if values.dtype.itemsize != 4:
-            raise TypeError("values must be a 32-bit dtype")
+        common.validate_value_dtype(values)
+        if values_are_ranks and values.dtype.itemsize != 4:
+            raise ValueError(
+                "values_are_ranks requires a 32-bit value dtype (the rank "
+                "contract is a single u32 column)"
+            )
     if method not in ("auto", "bitonic", "xla"):
         raise ValueError(
             "sort_batched supports method in ('auto', 'bitonic', 'xla'); "
@@ -164,7 +171,7 @@ def _sort_batched_jit(
         else:
             full_cols = (common.to_sortable_u32(flat),)
         masks = (common.bit_mask(bit_count),)
-        masked = bit_count < 32
+        masked = bit_count < common.native_key_bits(keys.dtype)
         mk = full_cols[0] & masks[0]
         if descending:
             mk = mk ^ masks[0]
@@ -173,14 +180,15 @@ def _sort_batched_jit(
     carry_full = masked or descending
     stable = carry_full or values is not None
 
+    vcols_2d = common.values_to_u32_cols(values) if values is not None else ()
+
     if method == "xla":
         # lax.sort is natively batched (sorts along the last axis per row)
         ks = tuple(c.reshape(B, n) for c in mk_cols)
         payloads = []
         if carry_full:
             payloads += [c.reshape(B, n) for c in full_cols]
-        if values is not None:
-            payloads.append(jax.lax.bitcast_convert_type(values, jnp.uint32))
+        payloads.extend(vcols_2d)
         out = jax.lax.sort(
             (*ks, *payloads), num_keys=len(ks), is_stable=stable, dimension=1,
         )
@@ -189,7 +197,10 @@ def _sort_batched_jit(
             else out[: len(full_cols)]
         )
         sorted_cols = tuple(c.reshape(B * n) for c in sorted_cols)
-        v_sorted = out[-1].reshape(B * n) if values is not None else None
+        v_sorted = (
+            tuple(c.reshape(B * n) for c in out[len(out) - len(vcols_2d):])
+            if values is not None else None
+        )
     else:
         # row-local bitonic network: pad each row to a pow2 (>= LANES so
         # the flat length is always a multiple of the lane width), sort
@@ -200,15 +211,14 @@ def _sort_batched_jit(
         cols = [_pad_rows(c, B, n, row_pad, SENT) for c in mk_cols]
         n_keys = len(mk_cols)
         rank_tie = values_are_ranks and values is not None
+        vcols_flat = tuple(c.reshape(B * n) for c in vcols_2d)
         if stable:
             if rank_tie:
                 # per-row increasing ranks < SENTINEL: valid tie column
                 # (padded with SENTINEL so real max-key elements precede
-                # each row's pads; pad tuples are byte-identical)
-                v_u32 = jax.lax.bitcast_convert_type(
-                    values.reshape(B * n), jnp.uint32
-                )
-                cols.append(_pad_rows(v_u32, B, n, row_pad, SENT))
+                # each row's pads; pad tuples are byte-identical); rank
+                # values are 4-byte only (validated upstream)
+                cols.append(_pad_rows(vcols_flat[0], B, n, row_pad, SENT))
             else:
                 # global iota: within each row it is the original position
                 cols.append(jnp.arange(npad, dtype=jnp.uint32))
@@ -216,10 +226,9 @@ def _sort_batched_jit(
         if carry_full:
             cols += [_pad_rows(c, B, n, row_pad, SENT) for c in full_cols]
         if values is not None and not rank_tie:
-            v_u32 = jax.lax.bitcast_convert_type(
-                values.reshape(B * n), jnp.uint32
-            )
-            cols.append(_pad_rows(v_u32, B, n, row_pad, jnp.uint32(0)))
+            cols += [
+                _pad_rows(c, B, n, row_pad, jnp.uint32(0)) for c in vcols_flat
+            ]
 
         out = bitonic.sort_rows_padded(
             tuple(cols), row_len=row_pad, stable=stable,
@@ -238,9 +247,11 @@ def _sort_batched_jit(
         if values is None:
             v_sorted = None
         elif rank_tie:
-            v_sorted = unpad(out[len(mk_cols)])
+            v_sorted = (unpad(out[len(mk_cols)]),)
         else:
-            v_sorted = unpad(out[-1])
+            v_sorted = tuple(
+                unpad(c) for c in out[len(out) - len(vcols_flat):]
+            )
 
     if wide:
         s_hi, s_lo = sorted_cols
@@ -257,7 +268,7 @@ def _sort_batched_jit(
     out_keys = out_keys.reshape(B, n)
     if values is None:
         return out_keys
-    out_values = jax.lax.bitcast_convert_type(
+    out_values = common.values_from_u32_cols(
         v_sorted, values.dtype
     ).reshape(B, n)
     return out_keys, out_values

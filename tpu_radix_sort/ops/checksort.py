@@ -266,8 +266,9 @@ def disorder_count(
                 )
             cols = tuple(c[:count] for c in cols)
         return disorder_count_cols(cols, interpret=interpret)
-    bit_count = 32 if bit_count is None else bit_count
-    common.validate_bit_count(bit_count)
+    if bit_count is None:
+        bit_count = common.native_key_bits(u.dtype)
+    common.validate_bit_count_for(u.dtype, bit_count)
     u = _as_check_key(u, bit_count, total_order=total_order,
                       descending=descending)
     if count is not None:
@@ -332,8 +333,9 @@ def is_sorted(
                 )
             cols = tuple(c[:count] for c in cols)
         return is_sorted_cols(cols, interpret=interpret)
-    bit_count = 32 if bit_count is None else bit_count
-    common.validate_bit_count(bit_count)
+    if bit_count is None:
+        bit_count = common.native_key_bits(u.dtype)
+    common.validate_bit_count_for(u.dtype, bit_count)
     u = _as_check_key(u, bit_count, total_order=total_order,
                       descending=descending)
     if count is not None:

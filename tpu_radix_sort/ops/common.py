@@ -22,6 +22,12 @@ SUPPORTED_KEY_DTYPES = ("uint32", "float32", "int32")
 # array itself; all device code stays u32 (keys travel as (hi, lo) column
 # pairs — 64-bit lanes would halve VPU width on TPU for no benefit).
 SUPPORTED_KEY_DTYPES_64 = ("uint64", "float64", "int64")
+# 16-bit key dtypes (extension; bfloat16 is the TPU's native dtype — a
+# TPU-first sort that can't order it leaves the most idiomatic workload on
+# the table, round-4 VERDICT item 6). Keys are widened to their u16 bit
+# pattern in a u32 lane; the measured packed-lane fast-path question lives
+# in benchmarks/explore_keys16.py / DESIGN.md.
+SUPPORTED_KEY_DTYPES_16 = ("uint16", "int16", "float16", "bfloat16")
 
 
 def is_tpu_backend() -> bool:
@@ -72,25 +78,53 @@ def default_interpret_for_mesh(mesh) -> bool:
     return default_interpret()
 
 
+def is_16bit_key_dtype(dtype) -> bool:
+    if dtype is None:
+        return False
+    return jnp.dtype(dtype).name in SUPPORTED_KEY_DTYPES_16
+
+
+def native_key_bits(dtype) -> int:
+    """Meaningful key-bit width of a supported dtype (16, 32 or 64) — the
+    default and maximum `bit_count` for that dtype."""
+    if is_16bit_key_dtype(dtype):
+        return 16
+    if is_64bit_key_dtype(dtype):
+        return 64
+    return 32
+
+
+def _u16_pattern(keys: jax.Array) -> jax.Array:
+    """16-bit dtype -> its u16 bit pattern, widened into a u32 lane."""
+    return jax.lax.bitcast_convert_type(keys, jnp.uint16).astype(jnp.uint32)
+
+
 def to_sortable_u32(keys: jax.Array) -> jax.Array:
     """Bitcast keys to the u32 bit pattern the reference orders by.
 
     uint32: identity. float32/int32: reinterpret bits (matches the reference,
     which is documented for non-negative floats only, ``README.md:9,68,95``).
+    16-bit dtypes (uint16/int16/float16/bfloat16) widen their u16 bit
+    pattern into the low half of a u32 lane (same contract, one width down).
     Use :func:`to_total_order_u32` for a true total order on signed values.
     """
     if keys.dtype == jnp.uint32:
         return keys
     if keys.dtype in (jnp.float32, jnp.int32):
         return jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    if is_16bit_key_dtype(keys.dtype):
+        return _u16_pattern(keys)
     raise TypeError(
-        f"unsupported key dtype {keys.dtype}; expected one of {SUPPORTED_KEY_DTYPES}"
+        f"unsupported key dtype {keys.dtype}; expected one of "
+        f"{SUPPORTED_KEY_DTYPES + SUPPORTED_KEY_DTYPES_16}"
     )
 
 
 def from_sortable_u32(u: jax.Array, dtype) -> jax.Array:
     if dtype == jnp.uint32:
         return u
+    if is_16bit_key_dtype(dtype):
+        return jax.lax.bitcast_convert_type(u.astype(jnp.uint16), dtype)
     return jax.lax.bitcast_convert_type(u, dtype)
 
 
@@ -99,7 +133,9 @@ def to_total_order_u32(keys: jax.Array) -> jax.Array:
 
     Extension beyond the reference (which requires non-negative keys):
     float32 uses the sign-flip trick (flip all bits if negative, else flip
-    sign bit); int32 offsets by 2^31.
+    sign bit); int32 offsets by 2^31. 16-bit dtypes apply the same mapping
+    at 16-bit width, widened into the u32 lane (so masked `bit_count` and
+    descending flips stay within the low 16 bits).
     """
     if keys.dtype == jnp.uint32:
         return keys
@@ -109,6 +145,16 @@ def to_total_order_u32(keys: jax.Array) -> jax.Array:
         u = jax.lax.bitcast_convert_type(keys, jnp.uint32)
         flip = jnp.where(
             (u >> 31) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
+        )
+        return u ^ flip
+    if keys.dtype == jnp.uint16:
+        return keys.astype(jnp.uint32)
+    if keys.dtype == jnp.int16:
+        return _u16_pattern(keys) ^ jnp.uint32(0x8000)
+    if keys.dtype in (jnp.float16, jnp.bfloat16):
+        u = _u16_pattern(keys)
+        flip = jnp.where(
+            (u >> 15) == 1, jnp.uint32(0xFFFF), jnp.uint32(0x8000)
         )
         return u ^ flip
     raise TypeError(f"unsupported key dtype {keys.dtype}")
@@ -122,6 +168,17 @@ def from_total_order_u32(u: jax.Array, dtype) -> jax.Array:
     if dtype == jnp.float32:
         flip = jnp.where((u >> 31) == 1, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
         return jax.lax.bitcast_convert_type(u ^ flip, jnp.float32)
+    if dtype == jnp.uint16:
+        return u.astype(jnp.uint16)
+    if dtype == jnp.int16:
+        return jax.lax.bitcast_convert_type(
+            (u ^ jnp.uint32(0x8000)).astype(jnp.uint16), jnp.int16
+        )
+    if jnp.dtype(dtype) in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)):
+        flip = jnp.where((u >> 15) == 1, jnp.uint32(0x8000), jnp.uint32(0xFFFF))
+        return jax.lax.bitcast_convert_type(
+            (u ^ flip).astype(jnp.uint16), dtype
+        )
     raise TypeError(f"unsupported key dtype {dtype}")
 
 
@@ -221,6 +278,44 @@ def from_total_order_u64_cols(hi, lo, dtype):
     raise TypeError(f"unsupported key dtype {dtype}")
 
 
+def guard_64bit_value_downcast(raw) -> None:
+    """`guard_64bit_downcast` for the VALUE payload: refuse a silent
+    uint64->uint32 truncation at asarray time when x64 mode is off."""
+    dt = getattr(raw, "dtype", None)
+    if is_64bit_key_dtype(dt) and not jax.config.jax_enable_x64:
+        raise TypeError(
+            f"values have 64-bit dtype {dt} but jax x64 mode is disabled — "
+            "jnp.asarray would silently truncate them to 32 bits. Enable "
+            "it first: jax.config.update('jax_enable_x64', True)"
+        )
+
+
+def validate_value_dtype(values) -> None:
+    """Values ride the engines as u32 columns: one for 4-byte dtypes, an
+    (hi, lo) pair for 8-byte dtypes (capability superset of the reference's
+    u32-only payload buffers, `RadixSortBufferKernel.ts:34-36`)."""
+    if values.dtype.itemsize not in (4, 8):
+        raise TypeError(
+            f"values must be a 32- or 64-bit dtype, got {values.dtype}"
+        )
+
+
+def values_to_u32_cols(values: jax.Array):
+    """Payload -> tuple of u32 columns: (v,) for 4-byte dtypes, the (hi, lo)
+    bit-pattern pair for 8-byte dtypes (which require jax x64 mode, like
+    64-bit keys — use `guard_64bit_value_downcast` on the raw input)."""
+    if values.dtype.itemsize == 4:
+        return (jax.lax.bitcast_convert_type(values, jnp.uint32),)
+    return _split_u64(jax.lax.bitcast_convert_type(values, jnp.uint64))
+
+
+def values_from_u32_cols(cols, dtype):
+    """Inverse of :func:`values_to_u32_cols` (cols are the sorted columns)."""
+    if len(cols) == 1:
+        return jax.lax.bitcast_convert_type(cols[0], dtype)
+    return jax.lax.bitcast_convert_type(_join_u64(cols[0], cols[1]), dtype)
+
+
 def bit_mask_cols(bit_count: int):
     """(hi, lo) u32 masks selecting the low `bit_count` of 64 key bits."""
     lo = jnp.uint32(0xFFFFFFFF) if bit_count >= 32 else bit_mask(bit_count)
@@ -247,6 +342,19 @@ def validate_bit_count(bit_count: int) -> None:
     # reference constraint: multiple of 4 in [4, 32] (README.md:97)
     if not (4 <= bit_count <= 32) or bit_count % 4 != 0:
         raise ValueError(f"bit_count must be a multiple of 4 in [4, 32], got {bit_count}")
+
+
+def validate_bit_count_for(dtype, bit_count: int) -> None:
+    """`bit_count` range check scaled to the key dtype's native width
+    (16-bit keys: [4, 16]; 32-bit: the reference's [4, 32]; 64-bit: [4, 64])."""
+    w = native_key_bits(dtype)
+    if w == 64:
+        validate_bit_count_64(bit_count)
+    elif not (4 <= bit_count <= w) or bit_count % 4 != 0:
+        raise ValueError(
+            f"bit_count must be a multiple of 4 in [4, {w}] for "
+            f"{jnp.dtype(dtype).name} keys, got {bit_count}"
+        )
 
 
 def next_pow2(n: int) -> int:

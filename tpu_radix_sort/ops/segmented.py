@@ -65,17 +65,24 @@ def sort_segments(
     if wide:
         bit_count = 64 if bit_count is None else bit_count
         common.validate_bit_count_64(bit_count)
-    elif keys.dtype in (jnp.uint32, jnp.float32, jnp.int32):
-        bit_count = 32 if bit_count is None else bit_count
-        common.validate_bit_count(bit_count)
+    elif (keys.dtype in (jnp.uint32, jnp.float32, jnp.int32)
+          or common.is_16bit_key_dtype(keys.dtype)):
+        if bit_count is None:
+            bit_count = common.native_key_bits(keys.dtype)
+        common.validate_bit_count_for(keys.dtype, bit_count)
     else:
         raise TypeError(f"unsupported key dtype {keys.dtype}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
-        if values.dtype.itemsize != 4:
-            raise TypeError("values must be a 32-bit dtype")
+        common.validate_value_dtype(values)
+        if values_are_ranks and values.dtype.itemsize != 4:
+            raise ValueError(
+                "values_are_ranks requires a 32-bit value dtype (the rank "
+                "contract is a single u32 column)"
+            )
     if method not in ("auto", "bitonic", "xla"):
         raise ValueError(
             "sort_segments supports method in ('auto', 'bitonic', 'xla'); "
@@ -193,16 +200,18 @@ def _sort_segments_jit(
         else:
             full_cols = (common.to_sortable_u32(keys),)
         masks = (common.bit_mask(bit_count),)
-        masked = bit_count < 32
+        masked = bit_count < common.native_key_bits(keys.dtype)
         mk = full_cols[0] & masks[0]
         if descending:
             mk = mk ^ masks[0]
         mk_cols = (mk,)
+        # seg ids pack above the real key bits; 16-bit keys leave 16+ spare
         key_width = bit_count
 
     seg = _segment_ids(offsets, n).astype(jnp.uint32)
     seg_bits = max(1, (S - 1).bit_length())
-    if not wide and seg_bits + key_width <= 32:
+    packed = not wide and seg_bits + key_width <= 32
+    if packed:
         # composite single column: segment id above the masked key bits
         key_cols = ((seg << key_width) | mk_cols[0],)
     else:
@@ -218,35 +227,42 @@ def _sort_segments_jit(
     carry_full = masked or descending
     stable = carry_full or have_values
 
+    if make_ranks:
+        vcols = (ranks,)
+    elif values is not None:
+        # 8-byte value dtypes ride as an (hi, lo) u32 column pair
+        vcols = common.values_to_u32_cols(values)
+    else:
+        vcols = ()
+
     if method == "xla":
         payloads = list(full_cols) if carry_full else []
-        if have_values:
-            payloads.append(
-                ranks if make_ranks
-                else jax.lax.bitcast_convert_type(values, jnp.uint32))
+        payloads.extend(vcols)
         out = jax.lax.sort(
             (*key_cols, *payloads), num_keys=len(key_cols), is_stable=stable,
         )
         base = len(key_cols)
         if carry_full:
             sorted_cols = out[base: base + len(full_cols)]
+        elif packed:
+            # unmasked ascending 16-bit keys pack under the seg id in ONE
+            # column with nothing carried: unmask the key bits back out
+            sorted_cols = (out[0] & common.bit_mask(key_width),)
         else:
             # unmasked ascending (masked/descending always carry), so the
-            # segment id is always a separate leading column here
+            # segment id is a separate leading column here
             sorted_cols = out[1: 1 + len(full_cols)]
-        v_sorted = out[-1] if have_values else None
+        v_sorted = out[len(out) - len(vcols):] if have_values else None
     else:
         payloads = []
         rank_tie = values_are_ranks and have_values
         if carry_full:
             payloads += list(full_cols)
-        v_u32 = None
-        if have_values:
-            v_u32 = (ranks if make_ranks
-                     else jax.lax.bitcast_convert_type(values, jnp.uint32))
-            if not rank_tie:
-                payloads.append(v_u32)
-        tie = v_u32 if rank_tie else ("iota" if stable else None)
+        if have_values and not rank_tie:
+            payloads.extend(vcols)
+        # rank ties are 4-byte only (validated upstream), so vcols[0] is
+        # the whole payload when it serves as the tie column
+        tie = vcols[0] if rank_tie else ("iota" if stable else None)
         out = _pad_sort_cols(
             key_cols, tie, payloads,
             block_rows=block_rows, interpret=interpret,
@@ -255,16 +271,20 @@ def _sort_segments_jit(
         base = nk + (1 if stable else 0)
         if carry_full:
             sorted_cols = out[base: base + len(full_cols)]
+        elif packed:
+            # unmasked ascending 16-bit keys pack under the seg id in ONE
+            # column with nothing carried: unmask the key bits back out
+            sorted_cols = (out[0] & common.bit_mask(key_width),)
         else:
             # unmasked ascending (masked/descending always carry), so the
-            # segment id is always a separate leading column here
+            # segment id is a separate leading column here
             sorted_cols = out[1: 1 + len(full_cols)]
         if not have_values:
             v_sorted = None
         elif rank_tie:
-            v_sorted = out[nk]
+            v_sorted = (out[nk],)
         else:
-            v_sorted = out[-1]
+            v_sorted = out[len(out) - len(vcols):]
 
     if wide:
         s_hi, s_lo = sorted_cols
@@ -281,5 +301,5 @@ def _sort_segments_jit(
     if not have_values:
         return out_keys
     if make_ranks:
-        return out_keys, v_sorted  # already uint32 ranks
-    return out_keys, jax.lax.bitcast_convert_type(v_sorted, values.dtype)
+        return out_keys, v_sorted[0]  # already uint32 ranks
+    return out_keys, common.values_from_u32_cols(v_sorted, values.dtype)

@@ -196,6 +196,13 @@ def sort(
     past the reference (which is ascending-only, `README.md:94`): stable
     descending via an ascending sort of the bit-flipped masked key.
 
+    Key dtypes: uint32/float32/int32 (the reference's u32 bit-pattern
+    contract, `README.md:9,68,95`); 16-bit dtypes (uint16/int16/float16/
+    bfloat16 — widened u16 bit pattern, bit_count caps at 16) and 64-bit
+    dtypes (uint64/int64/float64 under jax x64 — (hi, lo) u32 columns,
+    bit_count up to 64) are extensions. `values` accepts any 4- or 8-byte
+    dtype (8-byte rides as an (hi, lo) u32 column pair, x64 required).
+
     ``mesh=`` routes the same call across a `jax.sharding.Mesh` axis
     (shard inputs along `axis_name` for the exchange to ride ICI):
     `method='auto'` picks the exact-splitter radix exchange
@@ -222,23 +229,15 @@ def sort(
                 f"with mesh=, method must be one of {_MESH_METHODS}, "
                 f"got {method}"
             )
-        wide = common.is_64bit_key_dtype(getattr(keys, "dtype", None))
         from .. import parallel  # local import: ops must not require parallel
 
         if method == "auto":
             # crossing-volume heuristic (DESIGN.md): compare-split moves
             # each element log2(D)(log2(D)+1)/2 times vs the exchange's 1,
             # but wins at small D on pattern regularity; 4 is the break.
-            # 64-bit keys always take compare-split (the exchange's
-            # splitter bisection is u32-domain).
-            method = (
-                "mesh" if wide or mesh.shape[axis_name] <= 4 else "exchange"
-            )
-        if wide and method == "exchange":
-            raise TypeError(
-                "64-bit keys support method='mesh' (compare-split) on a "
-                "mesh; the radix exchange splitter is 32-bit-only"
-            )
+            # Wide (64-bit) keys route by D exactly like narrow ones — the
+            # splitter bisects the joined u64 domain (round-4 VERDICT #1).
+            method = "mesh" if mesh.shape[axis_name] <= 4 else "exchange"
         fn = parallel.mesh_sort if method == "mesh" else parallel.exchange_sort
         return fn(
             keys,
@@ -277,20 +276,30 @@ def sort(
             block_rows=block_rows,
             interpret=interpret,
         )
-    if keys.dtype not in (jnp.uint32, jnp.float32, jnp.int32):
+    narrow16 = common.is_16bit_key_dtype(keys.dtype)
+    if keys.dtype not in (jnp.uint32, jnp.float32, jnp.int32) and not narrow16:
         raise TypeError(f"unsupported key dtype {keys.dtype}")
-    bit_count = 32 if bit_count is None else bit_count
-    common.validate_bit_count(bit_count)
+    # 16-bit keys (u16/i16/f16/bf16) widen to their u16 bit pattern in a
+    # u32 lane; bit_count then defaults to (and caps at) 16, so the radix
+    # engine runs half the passes and masking stays within the real bits
+    native_bits = 16 if narrow16 else 32
+    bit_count = native_bits if bit_count is None else bit_count
+    common.validate_bit_count_for(keys.dtype, bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
         raise ValueError(f"count {count} out of range for buffer of {n}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.ndim != 1 or values.shape[0] != n:
             raise ValueError("values must be 1-D with the same length as keys")
-        if values.dtype.itemsize != 4:
-            raise TypeError("values must be a 32-bit dtype")
+        common.validate_value_dtype(values)
+        if values_are_ranks and values.dtype.itemsize != 4:
+            raise ValueError(
+                "values_are_ranks requires a 32-bit value dtype (the rank "
+                "contract is a single u32 column)"
+            )
     method = _resolve_method(method)
     if interpret is None:
         interpret = common.default_interpret()
@@ -302,7 +311,7 @@ def sort(
         values,
         common.bit_mask(bit_count),
         count=count,
-        masked=bit_count < 32,
+        masked=bit_count < native_bits,
         check_order=check_order,
         total_order=total_order,
         descending=descending,
@@ -374,10 +383,14 @@ def _sort_jit(
     if carry_full_key:
         payloads.append(u_full)
     rank_payload = None
+    vcols = ()
     if values is not None:
+        # 8-byte value dtypes ride as an (hi, lo) u32 column pair
+        # (capability superset of the reference's u32 payload buffers)
+        vcols = common.values_to_u32_cols(values[:count])
         if values_are_ranks:
-            rank_payload = len(payloads)
-        payloads.append(jax.lax.bitcast_convert_type(values[:count], jnp.uint32))
+            rank_payload = len(payloads)  # 4-byte only (validated upstream)
+        payloads.extend(vcols)
 
     def do_sort():
         mk, ps = _engine_sort(
@@ -396,22 +409,15 @@ def _sort_jit(
             u_sorted = ps.pop(0)
         else:
             u_sorted = mk ^ mask if descending else mk
-        out = [u_sorted]
-        if values is not None:
-            out.append(ps.pop(0))
-        return tuple(out)
+        return (u_sorted, *ps[: len(vcols)])
 
     if check_order and method != "radix":
         # comparison engines: up-front whole-pipeline gate. The radix
         # engine instead checks mid-sort inside its pass loop (the
         # reference's indirect-dispatch shape) — see _engine_sort above.
-        passthrough = [u_full]
-        if values is not None:
-            passthrough.append(
-                jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
-            )
+        passthrough = (u_full, *vcols)
         result = checksort.with_early_exit(
-            mkeys, tuple(passthrough), do_sort, interpret=interpret
+            mkeys, passthrough, do_sort, interpret=interpret
         )
     else:
         result = do_sort()
@@ -425,7 +431,7 @@ def _sort_jit(
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys, None
-    out_values = jax.lax.bitcast_convert_type(result[1], values.dtype)
+    out_values = common.values_from_u32_cols(result[1:], values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])
     return out_keys, out_values

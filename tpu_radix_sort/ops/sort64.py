@@ -56,11 +56,16 @@ def sort64(
     if not (0 <= count <= n):
         raise ValueError(f"count {count} out of range for buffer of {n}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.ndim != 1 or values.shape[0] != n:
             raise ValueError("values must be 1-D with the same length as keys")
-        if values.dtype.itemsize != 4:
-            raise TypeError("values must be a 32-bit dtype")
+        common.validate_value_dtype(values)
+        if values_are_ranks and values.dtype.itemsize != 4:
+            raise ValueError(
+                "values_are_ranks requires a 32-bit value dtype (the rank "
+                "contract is a single u32 column)"
+            )
     from .sort import _resolve_method
 
     method = _resolve_method(method)
@@ -269,12 +274,12 @@ def _sort_jit64(
     if carry_full_key:
         payloads += [u_hi, u_lo]
     rank_payload = None
+    vcols = ()
     if values is not None:
+        vcols = common.values_to_u32_cols(values[:count])
         if values_are_ranks:
-            rank_payload = len(payloads)
-        payloads.append(
-            jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
-        )
+            rank_payload = len(payloads)  # 4-byte only (validated upstream)
+        payloads.extend(vcols)
 
     def do_sort():
         kc, ps = _engine_sort64(
@@ -294,21 +299,14 @@ def _sort_jit64(
             # not masked => bit_count == 64 => both columns in the tuple
             s_hi = kc[0] ^ mask_hi if descending else kc[0]
             s_lo = kc[1] ^ mask_lo if descending else kc[1]
-        out = [s_hi, s_lo]
-        if values is not None:
-            out.append(ps.pop(0))
-        return tuple(out)
+        return (s_hi, s_lo, *ps[: len(vcols)])
 
     if check_order:
-        passthrough = [u_hi, u_lo]
-        if values is not None:
-            passthrough.append(
-                jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
-            )
+        passthrough = (u_hi, u_lo, *vcols)
         ok = checksort.is_sorted_cols(
             (mk_hi, mk_lo) if not lo_only else (mk_lo,), interpret=interpret
         )
-        result = jax.lax.cond(ok, lambda: tuple(passthrough), do_sort)
+        result = jax.lax.cond(ok, lambda: passthrough, do_sort)
     else:
         result = do_sort()
 
@@ -321,7 +319,7 @@ def _sort_jit64(
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys, None
-    out_values = jax.lax.bitcast_convert_type(result[2], values.dtype)
+    out_values = common.values_from_u32_cols(result[2:], values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])
     return out_keys, out_values

@@ -127,8 +127,9 @@ def _prep_check_input(u, *, count, bit_count, mesh, axis_name,
             total_order=total_order, descending=descending,
         )
     else:
-        bit_count = 32 if bit_count is None else bit_count
-        common.validate_bit_count(bit_count)
+        if bit_count is None:
+            bit_count = common.native_key_bits(u.dtype)
+        common.validate_bit_count_for(u.dtype, bit_count)
         cols = (checksort._as_check_key(
             u, bit_count, total_order=total_order, descending=descending),)
     n = cols[0].shape[0]

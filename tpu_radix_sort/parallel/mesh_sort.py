@@ -192,18 +192,19 @@ def mesh_sort(
         bit_count = 64 if bit_count is None else bit_count
         common.validate_bit_count_64(bit_count)
     else:
-        bit_count = 32 if bit_count is None else bit_count
-        common.validate_bit_count(bit_count)
+        if bit_count is None:
+            bit_count = common.native_key_bits(keys.dtype)
+        common.validate_bit_count_for(keys.dtype, bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
         raise ValueError(f"count {count} out of range for buffer of {n}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
-        if values.dtype.itemsize != 4:
-            raise TypeError("values must be a 32-bit dtype")
+        common.validate_value_dtype(values)
     if interpret is None:
         interpret = common.default_interpret_for_mesh(mesh)
     n_dev = mesh.shape[axis_name]
@@ -240,7 +241,7 @@ def mesh_sort(
             full_cols = (common.to_total_order_u32(keys[:count]),)
         else:
             full_cols = (common.to_sortable_u32(keys[:count]),)
-        masked = bit_count < 32
+        masked = bit_count < common.native_key_bits(keys.dtype)
         mkeys = full_cols[0] & common.bit_mask(bit_count)
         if descending:
             mkeys = mkeys ^ common.bit_mask(bit_count)
@@ -259,9 +260,11 @@ def mesh_sort(
         arrs += [
             common.pad_to(c, n_pad, common.SENTINEL_U32) for c in full_cols
         ]
+    vcols = ()
     if values is not None:
-        v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
-        arrs.append(common.pad_to(v_u32, n_pad, jnp.uint32(0)))
+        # 8-byte value dtypes ride as an (hi, lo) u32 column pair
+        vcols = common.values_to_u32_cols(values[:count])
+        arrs += [common.pad_to(c, n_pad, jnp.uint32(0)) for c in vcols]
 
     fn = jax.shard_map(
         functools.partial(
@@ -317,8 +320,9 @@ def mesh_sort(
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys
-    v_sorted = out[(nk + n_full) if carry_full else nk][:count]
-    out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
+    vbase = (nk + n_full) if carry_full else nk
+    v_sorted = tuple(c[:count] for c in out[vbase: vbase + len(vcols)])
+    out_values = common.values_from_u32_cols(v_sorted, values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])
     return out_keys, out_values

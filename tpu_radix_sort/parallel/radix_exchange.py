@@ -13,7 +13,8 @@ Phases (all inside one `shard_map`, all static-shape):
    distinct, rank boundaries are exact points even under adversarial key
    skew (a Zipf hot bucket or all-equal keys change nothing) — this is the
    "hot-bucket skew handling": balance comes from ranks, not key values.
-   Selection = 2 rounds of 2^16-way multi-probe key bisection (one `psum`
+   Selection = 2 rounds (4 for 64-bit keys, over the joined u64 domain)
+   of 2^16-way multi-probe key bisection (one `psum`
    each, all D-1 boundaries simultaneously) + a closed-form distribution
    of key ties over shards from one tiny all_gather — ties need no search
    because the idx tie-break is the contiguously-sharded global iota, so
@@ -47,9 +48,9 @@ LANES = bitonic.LANES
 
 
 def _probe_log2(n_dev):
-    """Probes-per-round exponent k for the key bisection: 32/k psum rounds
-    of (D-1)*2^k u32 counts each. k=16 (2 rounds) while the payload stays
-    under ~16 MB; k=8 (4 rounds, KB-scale payloads) at pod-scale D."""
+    """Probes-per-round exponent k for the key bisection: key_bits/k psum
+    rounds of (D-1)*2^k u32 counts each. k=16 (2 rounds at 32-bit, 4 at
+    64-bit) while the payload stays under ~16 MB; k=8 at pod-scale D."""
     return 16 if (n_dev - 1) << 16 <= 1 << 22 else 8
 
 
@@ -58,18 +59,21 @@ def _select_splits(sk, targets, *, axis_name, n_dev):
     under any key skew, in O(1) collective rounds.
 
     sk: this shard's (L,) keys sorted ascending (by (key, idx); the idx
-    tie-break is implicit, see below). targets: (Q,) uint32 global ranks.
-    Returns s_mid (Q,) int32 = how many local elements rank below each
-    boundary; the s_mid sum over shards equals each target exactly, so the
-    received rank ranges tile the array.
+    tie-break is implicit, see below), as u32 — or u64 for wide keys (the
+    (hi, lo) columns joined; XLA emulates u64 compares as u32 pairs, and
+    this is host-graph XLA, not Pallas, so the device-code-stays-u32 rule
+    is untouched). targets: (Q,) uint32 global ranks. Returns s_mid (Q,)
+    int32 = how many local elements rank below each boundary; the s_mid
+    sum over shards equals each target exactly, so the received rank
+    ranges tile the array.
 
     Replaces the round-3 64-round (32 key + 32 idx) psum bisection
     (round-3 VERDICT item 3) with:
 
-    1. **Multi-probe key bisection** — ceil(32/k) rounds, each counting
-       2^k equispaced probes per target in one `psum` (vectorized
-       searchsorted locally). k=16 => TWO rounds to pin the exact boundary
-       key K_t (smallest v with global count_le(v) > t).
+    1. **Multi-probe key bisection** — ceil(key_bits/k) rounds, each
+       counting 2^k equispaced probes per target in one `psum` (vectorized
+       searchsorted locally). k=16 => TWO rounds (FOUR for u64) to pin the
+       exact boundary key K_t (smallest v with global count_le(v) > t).
     2. **Closed-form tie distribution — ZERO extra selection rounds.**
        The stability tie-break idx is the contiguous global iota, sharded
        contiguously by shard_map: every idx on shard s precedes every idx
@@ -78,20 +82,26 @@ def _select_splits(sk, targets, *, axis_name, n_dev):
        count key == K_t) lets every shard compute its own prefix of the
        tie run in closed form: take_s = clip(t_ties - ties_before_s, 0, m_s).
 
-    Collective rounds: 2 psums + 1 all_gather (D <= 32; 4+1 at pod scale)
-    vs the old 64 psums + 1 gather — the latency-serial chain this layer's
-    pod-scale pitch depended on.
+    Collective rounds (32-bit): 2 psums + 1 all_gather (D <= 32; 4+1 at
+    pod scale) vs the old 64 psums + 1 gather; 64-bit keys pay 4+1 (8+1) —
+    the same tie distribution applies unchanged because idx is still the
+    contiguous iota (round-4 VERDICT item 1).
     """
     q = targets.shape[0]
+    key_bits = 64 if sk.dtype == jnp.uint64 else 32
     k = _probe_log2(n_dev)
-    n_rounds = (32 + k - 1) // k
-    j = jnp.arange(1 << k, dtype=jnp.uint32)
+    n_rounds = (key_bits + k - 1) // k
+    j = jnp.arange(1 << k, dtype=sk.dtype)
 
-    lo = jnp.zeros((q,), jnp.uint32)
+    lo = jnp.zeros((q,), sk.dtype)
     for r in range(n_rounds):
-        shift = 32 - (r + 1) * k
-        # probes = right edges of the 2^k sub-intervals of [lo, lo + 2^(32-rk))
-        probes = lo[:, None] + (j[None, :] << shift) + jnp.uint32((1 << shift) - 1)
+        shift = key_bits - (r + 1) * k
+        # probes = right edges of the 2^k sub-intervals of
+        # [lo, lo + 2^(key_bits - r*k))
+        probes = (
+            lo[:, None] + (j[None, :] << shift)
+            + jnp.asarray((1 << shift) - 1, sk.dtype)
+        )
         c_local = jnp.searchsorted(
             sk, probes.reshape(-1), side="right"
         ).astype(jnp.uint32)
@@ -99,7 +109,7 @@ def _select_splits(sk, targets, *, axis_name, n_dev):
         # first sub-interval whose right-edge count exceeds the target
         # (counts are monotone in j, so "first True" == count of Falses)
         jstar = jnp.sum((c <= targets[:, None]).astype(jnp.uint32), axis=1)
-        lo = lo + (jstar << shift)
+        lo = lo + (jstar.astype(sk.dtype) << shift)
     K = lo  # exact boundary keys
 
     a = jnp.searchsorted(sk, K, side="left").astype(jnp.int32)   # key < K
@@ -150,14 +160,25 @@ def ragged_all_to_all_emulated(
 
 
 def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
-                         use_ragged_a2a):
-    """Per-shard body: local sort -> exact split -> ragged a2a -> re-sort."""
+                         use_ragged_a2a, n_key_cols=1):
+    """Per-shard body: local sort -> exact split -> ragged a2a -> re-sort.
+
+    `n_key_cols`: leading key columns in `arrs` (1 for u32 keys, 2 for the
+    wide (hi, lo) pair); the idx tie column follows them either way.
+    """
+    n_keys = n_key_cols + 1  # + idx tie column
     arrs = bitonic.sort_padded(
-        arrs, stable=True, block_rows=block_rows, interpret=interpret
+        arrs, stable=True, block_rows=block_rows, interpret=interpret,
+        n_keys=n_keys,
     )
     if n_dev == 1:
         return arrs
-    sk = arrs[0]
+    if n_key_cols == 2:
+        # the splitter bisects the joined u64 domain (wide keys require
+        # x64 mode upstream, so the join is representable)
+        sk = common._join_u64(arrs[0], arrs[1])
+    else:
+        sk = arrs[0]
     L = sk.shape[0]
     me = jax.lax.axis_index(axis_name)
 
@@ -238,7 +259,7 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
             )
         merged = bitonic.merge_tree_padded(
             tuple(rev), run=slot, stable=True, block_rows=block_rows,
-            interpret=interpret,
+            interpret=interpret, n_keys=n_keys,
         )
         # reals sort before the identical sentinel pad tuples: first L
         return tuple(m[:L] for m in merged)
@@ -247,7 +268,7 @@ def _shard_exchange_sort(arrs, *, axis_name, n_dev, block_rows, interpret,
         # contiguous layout: D sorted chunks concatenated in [:L]
         return bitonic.sort_padded(
             tuple(b[:L] for b in bufs), stable=True, block_rows=block_rows,
-            interpret=interpret,
+            interpret=interpret, n_keys=n_keys,
         )
 
     return jax.lax.cond(fits, merge_branch, sort_branch, tuple(out))
@@ -279,6 +300,14 @@ def exchange_sort(
     fast-gated checks + boundary-pair ppermute, `parallel/check.py`); a
     globally-sorted input skips the local sorts AND the exchange.
 
+    64-bit key dtypes (uint64/int64/float64, under jax x64 mode) travel as
+    (hi, lo) u32 columns like the single-chip path (`ops/sort64.py`); the
+    splitter bisects the joined u64 probe domain (4 psum rounds at k=16
+    instead of 2), the tie distribution is unchanged (idx is still the
+    contiguous iota), and the exchange moves one extra column — so wide
+    keys keep the one-data-crossing pod-scale property (round-4 VERDICT
+    item 1; `bit_count` extends to 4..64).
+
     `use_ragged_a2a` picks the exchange transport independently of the
     Pallas `interpret` choice: True = `jax.lax.ragged_all_to_all` (TPU),
     False = the semantics-pinned emulation (`ragged_all_to_all_emulated` —
@@ -289,21 +318,24 @@ def exchange_sort(
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
         raise ValueError("keys must be 1-D")
-    if common.is_64bit_key_dtype(getattr(keys, "dtype", None)):
-        raise TypeError(
-            "64-bit keys support the compare-split strategy (mesh_sort); "
-            "the radix exchange splitter is 32-bit-only"
-        )
-    bit_count = 32 if bit_count is None else bit_count
-    common.validate_bit_count(bit_count)
+    wide = common.is_64bit_key_dtype(keys.dtype)
+    if wide:
+        bit_count = 64 if bit_count is None else bit_count
+        common.validate_bit_count_64(bit_count)
+    else:
+        if bit_count is None:
+            bit_count = common.native_key_bits(keys.dtype)
+        common.validate_bit_count_for(keys.dtype, bit_count)
     n = keys.shape[0]
     count = n if count is None else int(count)
     if not (0 <= count <= n):
         raise ValueError(f"count {count} out of range for buffer of {n}")
     if values is not None:
+        common.guard_64bit_value_downcast(values)
         values = jnp.asarray(values)
         if values.shape != keys.shape:
             raise ValueError("values must match keys shape")
+        common.validate_value_dtype(values)
     if interpret is None:
         interpret = common.default_interpret_for_mesh(mesh)
     if use_ragged_a2a is None:
@@ -321,25 +353,47 @@ def exchange_sort(
     per = max(LANES, common.next_pow2(common.cdiv(count, n_dev)))
     n_pad = per * n_dev
 
-    if total_order:
-        u_full = common.to_total_order_u32(keys[:count])
+    if wide:
+        if total_order:
+            full_cols = common.to_total_order_u64_cols(keys[:count])
+        else:
+            full_cols = common.to_sortable_u64_cols(keys[:count])
+        masks = common.bit_mask_cols(bit_count)
+        masked = bit_count < 64
+        mcols = tuple(c & m for c, m in zip(full_cols, masks))
+        if descending:
+            mcols = tuple(c ^ m for c, m in zip(mcols, masks))
+        # bit_count <= 32: the masked hi column is all-zero — drop it (the
+        # splitter then runs the plain u32 bisection; masked => carry_full)
+        key_cols = (mcols[1],) if bit_count <= 32 else mcols
     else:
-        u_full = common.to_sortable_u32(keys[:count])
-    masked = bit_count < 32
-    mkeys = u_full & common.bit_mask(bit_count)
-    if descending:
-        # stable descending == stable ascending on the flipped masked key
-        mkeys = mkeys ^ common.bit_mask(bit_count)
+        if total_order:
+            full_cols = (common.to_total_order_u32(keys[:count]),)
+        else:
+            full_cols = (common.to_sortable_u32(keys[:count]),)
+        masks = (common.bit_mask(bit_count),)
+        masked = bit_count < common.native_key_bits(keys.dtype)
+        mk = full_cols[0] & masks[0]
+        if descending:
+            # stable descending == stable ascending on the flipped masked key
+            mk = mk ^ masks[0]
+        key_cols = (mk,)
     carry_full = masked or descending
 
-    mk = common.pad_to(mkeys, n_pad, common.SENTINEL_U32)
+    mk_cols = tuple(
+        common.pad_to(c, n_pad, common.SENTINEL_U32) for c in key_cols
+    )
     idx = jnp.arange(n_pad, dtype=jnp.uint32)
-    arrs = [mk, idx]
+    arrs = [*mk_cols, idx]
     if carry_full:
-        arrs.append(common.pad_to(u_full, n_pad, common.SENTINEL_U32))
+        arrs += [
+            common.pad_to(c, n_pad, common.SENTINEL_U32) for c in full_cols
+        ]
+    vcols = ()
     if values is not None:
-        v_u32 = jax.lax.bitcast_convert_type(values[:count], jnp.uint32)
-        arrs.append(common.pad_to(v_u32, n_pad, jnp.uint32(0)))
+        # 8-byte value dtypes ride as an (hi, lo) u32 column pair
+        vcols = common.values_to_u32_cols(values[:count])
+        arrs += [common.pad_to(c, n_pad, jnp.uint32(0)) for c in vcols]
 
     fn = jax.shard_map(
         functools.partial(
@@ -349,6 +403,7 @@ def exchange_sort(
             block_rows=block_rows,
             interpret=interpret,
             use_ragged_a2a=use_ragged_a2a,
+            n_key_cols=len(mk_cols),
         ),
         mesh=mesh,
         in_specs=(tuple(P(axis_name) for _ in arrs),),
@@ -359,7 +414,7 @@ def exchange_sort(
         from . import check
 
         ok = check.global_is_sorted(
-            mk, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
+            mk_cols, mesh=mesh, axis_name=axis_name, n_dev=n_dev,
             interpret=interpret,
         )
         out = jax.lax.cond(
@@ -368,17 +423,31 @@ def exchange_sort(
     else:
         out = fn(tuple(arrs))
 
-    u_sorted = (out[2] if carry_full else out[0])[:count]
-    if total_order:
-        out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+    base = len(mk_cols) + 1  # key columns + idx tie column
+    if carry_full:
+        full_sorted = out[base: base + len(full_cols)]
     else:
-        out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
+        # unmasked ascending: the key columns ARE the full-key columns
+        full_sorted = out[: len(full_cols)]
+    if wide:
+        s_hi, s_lo = (c[:count] for c in full_sorted)
+        if total_order:
+            out_keys = common.from_total_order_u64_cols(s_hi, s_lo, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u64_cols(s_hi, s_lo, keys.dtype)
+    else:
+        u_sorted = full_sorted[0][:count]
+        if total_order:
+            out_keys = common.from_total_order_u32(u_sorted, keys.dtype)
+        else:
+            out_keys = common.from_sortable_u32(u_sorted, keys.dtype)
     if count < n:
         out_keys = jnp.concatenate([out_keys, keys[count:]])
     if values is None:
         return out_keys
-    v_sorted = out[3 if carry_full else 2][:count]
-    out_values = jax.lax.bitcast_convert_type(v_sorted, values.dtype)
+    vbase = base + (len(full_cols) if carry_full else 0)
+    v_sorted = tuple(c[:count] for c in out[vbase: vbase + len(vcols)])
+    out_values = common.values_from_u32_cols(v_sorted, values.dtype)
     if count < n:
         out_values = jnp.concatenate([out_values, values[count:]])
     return out_keys, out_values
