@@ -52,9 +52,14 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     n = 1 << 24
     S, L = 1024, (1 << 24) // 1024
-    # near-equal ragged segments: L +- 12% (pow2-pad waste < 33%)
-    sizes = rng.integers(int(L * 0.88), int(L * 1.12), S).astype(np.int64)
-    sizes[0] += n - sizes.sum()
+    # near-equal ragged segments: L +- 12% (pow2-pad waste < 33%), zero-sum
+    # jitter so the correction can't drive any segment negative
+    delta = rng.integers(-L // 8, L // 8, S).astype(np.int64)
+    delta -= delta.sum() // S
+    rem = int(delta.sum())
+    delta[: abs(rem)] -= np.sign(rem)
+    sizes = np.full(S, L, np.int64) + delta
+    assert sizes.min() > 0 and sizes.sum() == n
     offs_np = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
     k = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     seg_ids = np.repeat(np.arange(S), sizes)
