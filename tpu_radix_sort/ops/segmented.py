@@ -14,8 +14,11 @@ cost of a flat masked sort) or rides as a dedicated column in the engine's
 lexicographic tuple (`ops/bitonic.py _lex_lt`, ~3 vector ops per stage).
 
 `offsets` is a traced operand (one compiled pipeline serves every
-segmentation of the same shape); segment ids come from one
-`searchsorted` over the offsets, O(n log S) XLA work before the sort.
+segmentation of the same shape); segment ids (and starts, for ranks) come
+from tiny boundary scatters + the streaming Pallas add-scan — NOT from
+`searchsorted`, whose gather lowering is element-serial on TPU (measured
+1.62 s of a 1.65 s segmented sort at 16M; `benchmarks/explore_segmented.py`
+and DESIGN.md "Segmented engine").
 """
 from __future__ import annotations
 
@@ -137,13 +140,35 @@ def argsort_segments(keys, offsets, *, bit_count=None, descending=False,
     )[1]
 
 
-def _segment_ids(offsets, n):
-    """Element position -> segment id (searchsorted over the CSR bounds)."""
-    pos = jnp.arange(n, dtype=offsets.dtype)
-    return jnp.clip(
-        jnp.searchsorted(offsets, pos, side="right") - 1,
-        0, offsets.shape[0] - 2,
-    )
+def _segment_ids_and_starts(offsets, n, *, interpret, need_starts):
+    """Element position -> (segment id, segment start) WITHOUT searchsorted.
+
+    `searchsorted(offsets, arange(n))` lowers to data-dependent gathers,
+    which are element-serial on TPU — measured 2026-08-19 at 16M/1024
+    segments it made the whole segmented sort 1.62 s when the sort network
+    itself costs ~30 ms (`benchmarks/explore_segmented.py`). Instead:
+    scatter tiny per-boundary records (S-1 elements) and run the streaming
+    Pallas add-scan (`ops/scan.py`, 0.9 ms at 16M):
+
+    - seg id:  +1 at each interior boundary, inclusive-scanned — the count
+      of boundaries <= j IS the segment id (coincident boundaries from
+      empty segments accumulate, advancing the id by their multiplicity).
+    - seg start: +(offsets[i] - offsets[i-1]) at boundary i telescopes
+      under the scan to the largest boundary <= j, i.e. the segment start
+      (`ranks = pos - start` for argsort_segments).
+    """
+    from . import scan as scan_mod
+
+    b = offsets[1:-1].astype(jnp.int32)  # interior boundaries (S-1)
+    ind = jnp.zeros((n,), jnp.uint32).at[b].add(
+        jnp.uint32(1), mode="drop")
+    seg = scan_mod.prefix_sum(ind, inclusive=True, interpret=interpret)
+    if not need_starts:
+        return seg, None
+    delta = (offsets[1:-1] - offsets[:-2]).astype(jnp.uint32)
+    d = jnp.zeros((n,), jnp.uint32).at[b].add(delta, mode="drop")
+    starts = scan_mod.prefix_sum(d, inclusive=True, interpret=interpret)
+    return seg, starts
 
 
 @functools.partial(
@@ -208,7 +233,8 @@ def _sort_segments_jit(
         # seg ids pack above the real key bits; 16-bit keys leave 16+ spare
         key_width = bit_count
 
-    seg = _segment_ids(offsets, n).astype(jnp.uint32)
+    seg, seg_starts = _segment_ids_and_starts(
+        offsets, n, interpret=interpret, need_starts=make_ranks)
     seg_bits = max(1, (S - 1).bit_length())
     packed = not wide and seg_bits + key_width <= 32
     if packed:
@@ -217,12 +243,12 @@ def _sort_segments_jit(
     else:
         key_cols = (seg, *mk_cols)
 
-    # per-segment ranks built from the seg map the sort needs anyway
-    # (argsort_segments: one searchsorted total, not two)
+    # per-segment ranks from the scanned segment starts (an offsets[seg]
+    # GATHER at n indices would be element-serial, like the searchsorted
+    # this path replaced)
     ranks = None
     if make_ranks:
-        pos = jnp.arange(n, dtype=jnp.uint32)
-        ranks = pos - offsets[seg.astype(jnp.int32)].astype(jnp.uint32)
+        ranks = jnp.arange(n, dtype=jnp.uint32) - seg_starts
 
     carry_full = masked or descending
     stable = carry_full or have_values
