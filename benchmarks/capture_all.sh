@@ -33,5 +33,6 @@ run headline   1800 python bench.py
 run crossover  5400 python benchmarks/crossover.py
 run explore_ce 5400 python benchmarks/explore_ce.py
 run workloads  7200 python benchmarks/workloads.py
+run blockrows  5400 python benchmarks/explore_blockrows.py
 run demo_consecutive 1800 python examples/demo.py --n 16777216 --check-order --consecutive 4
 echo "== capture done; logs in $out =="

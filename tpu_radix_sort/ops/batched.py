@@ -40,6 +40,8 @@ def sort_batched(
     method: str = "auto",
     block_rows=None,
     interpret=None,
+    mesh=None,
+    axis_name: str = "x",
 ):
     """Sort each row of a (B, n) key array independently (stable, ascending
     by default), co-permuting an optional same-shape 32-bit `values` array.
@@ -50,6 +52,10 @@ def sort_batched(
     viewed as u32, is strictly increasing with every element < 0xFFFFFFFF
     (e.g. a per-row iota — the argsort payload): the payload then doubles
     as the stability tie-break. Returns keys or (keys, values), same shape.
+
+    ``mesh=`` shards the BATCH dimension across the mesh axis — rows are
+    independent, so this is the collective-free case of the parallel
+    layer (`parallel/batched.py`); shard inputs `P(axis_name, None)`.
     """
     common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
@@ -81,6 +87,17 @@ def sort_batched(
         raise ValueError(
             "sort_batched supports method in ('auto', 'bitonic', 'xla'); "
             f"got {method!r}"
+        )
+    if mesh is not None:
+        from ..parallel.batched import mesh_sort_batched
+
+        return mesh_sort_batched(
+            keys, values,
+            mesh=mesh, axis_name=axis_name, bit_count=bit_count,
+            descending=descending, total_order=total_order,
+            values_are_ranks=values_are_ranks and values is not None,
+            method="bitonic" if method == "auto" else method,
+            block_rows=block_rows, interpret=interpret,
         )
     if interpret is None:
         interpret = common.default_interpret()

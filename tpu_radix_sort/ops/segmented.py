@@ -43,6 +43,8 @@ def sort_segments(
     method: str = "auto",
     block_rows=None,
     interpret=None,
+    mesh=None,
+    axis_name: str = "x",
 ):
     """Stable ascending sort of each segment `[offsets[i], offsets[i+1])`
     of a flat 1-D key array, co-permuting optional 32-bit `values`.
@@ -54,6 +56,12 @@ def sort_segments(
     jax x64). `values_are_ranks=True` promises each SEGMENT of `values`,
     viewed as u32, is strictly increasing with every element < 0xFFFFFFFF.
     Returns keys or (keys, values), same shape.
+
+    ``mesh=`` routes the same call across a mesh axis: segment ids come
+    from the distributed prefix sum and the composite (seg, key, idx)
+    tuple rides the compare-split network (`parallel/segmented.py`).
+    `values_are_ranks` is a single-chip comparison-engine contract and is
+    ignored distributed (the shard-local index tie-break is built in).
     """
     common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
@@ -86,6 +94,20 @@ def sort_segments(
                 "values_are_ranks requires a 32-bit value dtype (the rank "
                 "contract is a single u32 column)"
             )
+    if mesh is not None:
+        if method not in ("auto", "mesh"):
+            raise ValueError(
+                "with mesh=, sort_segments supports method in "
+                f"('auto', 'mesh'); got {method!r}"
+            )
+        from ..parallel.segmented import mesh_sort_segments
+
+        return mesh_sort_segments(
+            keys, offsets, values,
+            mesh=mesh, axis_name=axis_name, bit_count=bit_count,
+            descending=descending, total_order=total_order,
+            make_ranks=False, block_rows=block_rows, interpret=interpret,
+        )
     if method not in ("auto", "bitonic", "xla"):
         raise ValueError(
             "sort_segments supports method in ('auto', 'bitonic', 'xla'); "
@@ -110,11 +132,13 @@ def sort_segments(
 
 def argsort_segments(keys, offsets, *, bit_count=None, descending=False,
                      total_order=False, method="auto", block_rows=None,
-                     interpret=None):
+                     interpret=None, mesh=None, axis_name="x"):
     """Per-segment stable ranks (positions within the segment each element
     sorts to). The position-minus-segment-start payload satisfies the
     segmented rank contract; it is built INSIDE the jitted core from the
-    segment-id map the sort computes anyway (one searchsorted, not two)."""
+    same boundary-scan that produces the segment ids (no offsets[seg]
+    gather — see `_segment_ids_and_starts`). ``mesh=`` routes distributed
+    (see :func:`sort_segments`)."""
     common.guard_64bit_downcast(keys)
     keys = jnp.asarray(keys)
     if keys.ndim != 1:
@@ -123,6 +147,20 @@ def argsort_segments(keys, offsets, *, bit_count=None, descending=False,
     wide = common.is_64bit_key_dtype(keys.dtype)
     if bit_count is None:
         bit_count = 64 if wide else 32
+    if mesh is not None:
+        if method not in ("auto", "mesh"):
+            raise ValueError(
+                "with mesh=, argsort_segments supports method in "
+                f"('auto', 'mesh'); got {method!r}"
+            )
+        from ..parallel.segmented import mesh_sort_segments
+
+        return mesh_sort_segments(
+            keys, offsets, None,
+            mesh=mesh, axis_name=axis_name, bit_count=bit_count,
+            descending=descending, total_order=total_order,
+            make_ranks=True, block_rows=block_rows, interpret=interpret,
+        )[1]
     if interpret is None:
         interpret = common.default_interpret()
     return _sort_segments_jit(
