@@ -29,8 +29,35 @@ from tpu_radix_sort.ops import bitonic
 from tpu_radix_sort.runtime import device_time
 
 
+def headline_ab():
+    """64M k+v rank-payload (the headline config) block_rows 512 vs 1024:
+    the 16M 3-array sweep showed 512 ~4% ahead of the shipping 1024 —
+    check whether that transfers to the shape bench.py reports."""
+    import tpu_radix_sort as trs
+
+    n = 1 << 26
+    rng = np.random.default_rng(0)
+    knp = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    k = jnp.asarray(knp)
+    v = jnp.arange(n, dtype=jnp.uint32)
+    ref_k = np.sort(knp)
+    for b in (512, 1024, 2048):
+        def fn(kk, b=b):
+            return trs.sort(kk, v, values_are_ranks=True, block_rows=b)[0]
+
+        f = jax.jit(fn)
+        out = np.asarray(f(k))
+        ok = np.array_equal(out, ref_k)
+        t = device_time(f, k, k_lo=1, k_hi=3)
+        print(f"64M k+v rank-payload block_rows={b:4d}  {t*1e3:9.3f} ms  "
+              f"{n/t/1e6:7.1f} Mkeys/s  ok={ok}", flush=True)
+
+
 def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
+    if os.environ.get("BLOCKROWS_HEADLINE"):
+        headline_ab()
+        return
     n = int(os.environ.get("BLOCKROWS_N", 1 << 24))  # CPU smoke: small pow2
     rng = np.random.default_rng(0)
     k = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32))

@@ -222,9 +222,12 @@ def main():
     n = 1 << 24
     S = 4096
     w = rng.zipf(1.3, S).astype(np.float64)
-    sizes = np.maximum(1, (w / w.sum() * n).astype(np.int64))
-    sizes[0] += n - sizes.sum()  # exact tiling; head is the hot bucket
-    assert sizes[0] >= 1 and sizes.sum() == n
+    # multinomial draw: sums to n exactly, every segment >= 1, sizes
+    # Zipf-proportional (the old truncate-and-dump-into-sizes[0] scheme
+    # drove sizes[0] negative when the tail's rounding surplus exceeded
+    # the head — crashed the first r5 workloads capture)
+    sizes = rng.multinomial(n - S, w / w.sum()).astype(np.int64) + 1
+    assert sizes.min() >= 1 and sizes.sum() == n
     offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
     kseg = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     seg_ids = np.repeat(np.arange(S), sizes)
