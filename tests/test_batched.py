@@ -102,8 +102,10 @@ def test_batched_validation():
         trs.sort_batched(jnp.zeros(8, jnp.uint32))  # 1-D
     with pytest.raises(ValueError):
         trs.sort_batched(jnp.zeros((2, 8), jnp.uint32), method="radix")
+    # uint16 became a supported key dtype in round 5 (widened path); uint8
+    # remains outside the key-dtype surface
     with pytest.raises(TypeError):
-        trs.sort_batched(jnp.zeros((2, 8), jnp.uint16))
+        trs.sort_batched(jnp.zeros((2, 8), jnp.uint8))
     with pytest.raises(ValueError):
         trs.sort_batched(jnp.zeros((2, 8), jnp.uint32),
                          jnp.zeros((2, 4), jnp.uint32))
