@@ -51,6 +51,18 @@ def headline_ab():
         t = device_time(f, k, k_lo=1, k_hi=3)
         print(f"64M k+v rank-payload block_rows={b:4d}  {t*1e3:9.3f} ms  "
               f"{n/t/1e6:7.1f} Mkeys/s  ok={ok}", flush=True)
+    # keys-only (1-array minmax path): the other shape a DEFAULT_BLOCK_ROWS
+    # change would touch
+    for b in (512, 1024, 2048):
+        def fnk(kk, b=b):
+            return trs.sort(kk, block_rows=b)
+
+        fk = jax.jit(fnk)
+        out = np.asarray(fk(k))
+        ok = np.array_equal(out, ref_k)
+        t = device_time(fk, k, k_lo=1, k_hi=3)
+        print(f"64M keys-only        block_rows={b:4d}  {t*1e3:9.3f} ms  "
+              f"{n/t/1e6:7.1f} Mkeys/s  ok={ok}", flush=True)
 
 
 def main():
