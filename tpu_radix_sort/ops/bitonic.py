@@ -107,7 +107,8 @@ USE_FOLD3_CE = False
 
 def _roll(x, shift, axis):
     """Cyclic roll; out[i] = x[(i - shift) mod n] along axis."""
-    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+    return pltpu.roll(x, common.roll_shift_i32(shift % x.shape[axis]),
+                      axis=axis)
 
 
 def _lex_lt(a_cols, b_cols):
@@ -439,7 +440,7 @@ def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_sca
     grid_rank = len(grid)
     if dyn_k is not None:
         smem_spec = pl.BlockSpec(
-            (1,), lambda *_: (0,), memory_space=pltpu.SMEM
+            (1,), lambda *_: (common.IM0,), memory_space=pltpu.SMEM
         )
         in_specs = [smem_spec] + in_specs
         operands = [jnp.full((1,), dyn_k, dtype=jnp.int32)] + operands
@@ -452,16 +453,17 @@ def _run_network(arrs, stable, stages, *, grid, block_shape, index_map, base_sca
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         )
-    out = pl.pallas_call(
-        lambda *refs: kern(refs),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[spec] * n_arr,
-        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs],
-        input_output_aliases=io_alias,
-        interpret=interpret,
-        **kwargs,
-    )(*operands)
+    with common.i32_trace():
+        out = pl.pallas_call(
+            lambda *refs: kern(refs),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[spec] * n_arr,
+            out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs],
+            input_output_aliases=io_alias,
+            interpret=interpret,
+            **kwargs,
+        )(*operands)
     return tuple(out)
 
 
@@ -516,7 +518,7 @@ def sort_padded(arrs, *, stable, block_rows=None, interpret=None,
             x, stable, stages,
             grid=(rows // tile_rows,),
             block_shape=(tile_rows, LANES),
-            index_map=lambda i: (i, 0),
+            index_map=lambda i: (i, common.IM0),
             base_scale=T,
             kernel_rows=tile_rows,
             block_elems=T,
@@ -580,7 +582,7 @@ def _merge_round(x, k, *, n, rows, tile_rows, T, stable, run_contig, interpret,
             x4, stable, stages,
             grid=(A, m_lo // sub),
             block_shape=(1, 1 << c, 1, sub, LANES),
-            index_map=lambda a, s: (a, 0, s, 0, 0),
+            index_map=lambda a, s: (a, common.IM0, s, common.IM0, common.IM0),
             base_scale=group,
             kernel_rows=kernel_rows,
             block_elems=kernel_rows * LANES,
@@ -648,7 +650,7 @@ def sort_rows_padded(arrs, *, row_len, stable, block_rows=None,
             x, stable, stages,
             grid=(rows // tile_rows,),
             block_shape=(tile_rows, LANES),
-            index_map=lambda i: (i, 0),
+            index_map=lambda i: (i, common.IM0),
             base_scale=T,
             kernel_rows=tile_rows,
             block_elems=T,
@@ -720,7 +722,7 @@ def merge_padded(arrs, *, stable, block_rows=None, interpret=None,
             x, stable, stages,
             grid=(rows // tile_rows,),
             block_shape=(tile_rows, LANES),
-            index_map=lambda i: (i, 0),
+            index_map=lambda i: (i, common.IM0),
             base_scale=T,
             kernel_rows=tile_rows,
             block_elems=T,
@@ -779,7 +781,7 @@ def merge_tree_padded(arrs, *, run, stable, block_rows=None, interpret=None,
             x, stable, stages,
             grid=(rows // tile_rows,),
             block_shape=(tile_rows, LANES),
-            index_map=lambda i: (i, 0),
+            index_map=lambda i: (i, common.IM0),
             base_scale=T,
             kernel_rows=tile_rows,
             block_elems=T,

@@ -51,8 +51,8 @@ def _disorder_kernel(x_ref, o_ref, acc, *, rows):
         acc[0] = jnp.uint32(0)
 
     x = x_ref[:]
-    nxt = pltpu.roll(x, LANES - 1, axis=1)  # lane l <- lane (l+1)%128
-    nxt_rows = pltpu.roll(nxt, rows - 1, axis=0)  # row r <- row r+1
+    nxt = pltpu.roll(x, common.roll_shift_i32(LANES - 1), axis=1)
+    nxt_rows = pltpu.roll(nxt, common.roll_shift_i32(rows - 1), axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     rid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     nxt = jnp.where(lane < LANES - 1, nxt, nxt_rows)
@@ -65,8 +65,9 @@ def _disorder_kernel(x_ref, o_ref, acc, *, rows):
     boundary = jnp.where(
         b > 0, (prev_last > x[0, 0]).astype(jnp.uint32), jnp.uint32(0)
     )
-    # Mosaic has no unsigned reductions: sum the indicator in i32
-    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.int32)).astype(jnp.uint32) + boundary
+    # f32 mask count (see common.sum_scalar_u32: integer to-scalar sums die
+    # under x64 at Mosaic lowering; f32 is exact below 2^24)
+    acc[0] = acc[0] + common.sum_scalar_u32(bad) + boundary
     acc[1] = x[rows - 1, LANES - 1]
     o_ref[0] = acc[0]
 
@@ -74,15 +75,16 @@ def _disorder_kernel(x_ref, o_ref, acc, *, rows):
 def _disorder_pallas(u2d, *, interpret):
     rows = u2d.shape[0]
     block = min(rows, BLOCK_ROWS)
-    return pl.pallas_call(
-        functools.partial(_disorder_kernel, rows=block),
-        grid=(rows // block,),
-        in_specs=[pl.BlockSpec((block, LANES), lambda b: (b, 0))],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.uint32)],
-        interpret=interpret,
-    )(u2d)[0]
+    with common.i32_trace():
+        return pl.pallas_call(
+            functools.partial(_disorder_kernel, rows=block),
+            grid=(rows // block,),
+            in_specs=[pl.BlockSpec((block, LANES), lambda b: (b, common.IM0))],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
+            scratch_shapes=[pltpu.SMEM((2,), jnp.uint32)],
+            interpret=interpret,
+        )(u2d)[0]
 
 
 def _disorder_kernel2(a_ref, b_ref, o_ref, acc, *, rows):
@@ -99,8 +101,8 @@ def _disorder_kernel2(a_ref, b_ref, o_ref, acc, *, rows):
     b = b_ref[:]
 
     def nxt(x):
-        n1 = pltpu.roll(x, LANES - 1, axis=1)
-        return n1, pltpu.roll(n1, rows - 1, axis=0)
+        n1 = pltpu.roll(x, common.roll_shift_i32(LANES - 1), axis=1)
+        return n1, pltpu.roll(n1, common.roll_shift_i32(rows - 1), axis=0)
 
     na, na_rows = nxt(a)
     nb, nb_rows = nxt(b)
@@ -113,7 +115,7 @@ def _disorder_kernel2(a_ref, b_ref, o_ref, acc, *, rows):
     prev_a, prev_b = acc[1], acc[2]
     first_gt = (prev_a > a[0, 0]) | ((prev_a == a[0, 0]) & (prev_b > b[0, 0]))
     boundary = jnp.where(blk > 0, first_gt.astype(jnp.uint32), jnp.uint32(0))
-    acc[0] = acc[0] + jnp.sum(bad.astype(jnp.int32)).astype(jnp.uint32) + boundary
+    acc[0] = acc[0] + common.sum_scalar_u32(bad) + boundary
     acc[1] = a[rows - 1, LANES - 1]
     acc[2] = b[rows - 1, LANES - 1]
     o_ref[0] = acc[0]
@@ -122,16 +124,17 @@ def _disorder_kernel2(a_ref, b_ref, o_ref, acc, *, rows):
 def _disorder_pallas2(a2d, b2d, *, interpret):
     rows = a2d.shape[0]
     block = min(rows, BLOCK_ROWS)
-    spec = pl.BlockSpec((block, LANES), lambda b: (b, 0))
-    return pl.pallas_call(
-        functools.partial(_disorder_kernel2, rows=block),
-        grid=(rows // block,),
-        in_specs=[spec, spec],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
-        interpret=interpret,
-    )(a2d, b2d)[0]
+    spec = pl.BlockSpec((block, LANES), lambda b: (b, common.IM0))
+    with common.i32_trace():
+        return pl.pallas_call(
+            functools.partial(_disorder_kernel2, rows=block),
+            grid=(rows // block,),
+            in_specs=[spec, spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1,), jnp.uint32),
+            scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
+            interpret=interpret,
+        )(a2d, b2d)[0]
 
 
 def disorder_count_cols(cols, *, interpret=None) -> jax.Array:
@@ -154,7 +157,7 @@ def disorder_count_cols(cols, *, interpret=None) -> jax.Array:
             a.reshape(-1, LANES), b.reshape(-1, LANES), interpret=interpret
         )
     gt = (a[:-1] > a[1:]) | ((a[:-1] == a[1:]) & (b[:-1] > b[1:]))
-    return jnp.sum(gt.astype(jnp.uint32))
+    return jnp.sum(gt.astype(jnp.uint32), dtype=jnp.uint32)
 
 
 def is_sorted_cols(cols, *, interpret=None) -> jax.Array:
@@ -288,7 +291,7 @@ def disorder_count(
         n_pad = common.round_up(n, BLOCK_ROWS * LANES)
         u = common.pad_to(u, n_pad, common.SENTINEL_U32)
         return _disorder_pallas(u.reshape(-1, LANES), interpret=interpret)
-    return jnp.sum((u[:-1] > u[1:]).astype(jnp.uint32))
+    return jnp.sum((u[:-1] > u[1:]).astype(jnp.uint32), dtype=jnp.uint32)
 
 
 def is_sorted(

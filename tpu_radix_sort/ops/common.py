@@ -12,6 +12,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel that sorts after every real key (ascending): all-ones.
 SENTINEL_U32 = jnp.uint32(0xFFFFFFFF)
@@ -355,6 +356,65 @@ def validate_bit_count_for(dtype, bit_count: int) -> None:
             f"bit_count must be a multiple of 4 in [4, {w}] for "
             f"{jnp.dtype(dtype).name} keys, got {bit_count}"
         )
+
+
+# Pallas index maps must not return Python-int literals: under
+# jax_enable_x64 a literal 0 traces as an i64 constant and Mosaic fails to
+# legalize the index-map func ('func.return (i32, i64)', observed on chip
+# 2026-08-19 right after the roll-shift fix below). Use IM0 in index maps.
+IM0 = np.int32(0)
+
+
+def i32_trace():
+    """Trace-time context every `pl.pallas_call` site enters.
+
+    Kernel bodies are full of Python-int literals — SMEM scalar-ref indices
+    (`acc[0]`, `k_ref[0]`), comparison constants, reduction seeds. Under
+    jax_enable_x64 those bind as weak i64 and Mosaic rejects the kernel
+    ('64-bit types are not supported' at the ref get/swap, observed on chip
+    2026-08-19 on the u64 `is_sorted` rows — a class interpret mode cannot
+    catch because it never lowers). Every engine kernel operates purely on
+    u32/i32 refs (64-bit keys are split to (hi, lo) u32 columns upstream),
+    so tracing the kernel with x64 disabled is semantics-preserving and
+    immunizes all literals at once; operand avals created outside the
+    context keep their dtypes.
+    """
+    return jax.enable_x64(False)
+
+
+def sum_scalar_u32(mask) -> jax.Array:
+    """Scalar u32 count of a boolean tile, safe inside Mosaic kernels.
+
+    A to-scalar integer `jnp.sum` cannot be used in a kernel: Mosaic lowers
+    scalar reductions by RE-TRACING `jnp.sum` at lowering time
+    (`reduce_lowering_rule._proxy_fun`), which runs under the caller's
+    dtype config — with jax_enable_x64 on, the re-trace promotes an i32
+    accumulator to i64 and lowering dies with '64-bit types are not
+    supported' no matter what the kernel's own trace pinned (observed on
+    chip 2026-08-19, u64 `is_sorted`). An f32 sum never promotes, and a
+    0/1 count is exact in f32 while totals stay below 2^24 — kernel tiles
+    top out at 2048*128 = 2^18 elements.
+    """
+    # f32 -> i32 -> u32: Mosaic has no direct float->unsigned cast
+    return jnp.sum(mask.astype(jnp.float32)).astype(jnp.int32).astype(
+        jnp.uint32)
+
+
+def roll_shift_i32(shift):
+    """Pin a pltpu.roll shift to 32 bits.
+
+    `roll_p` always lowers to `tpu.dynamic_rotate`, whose shift operand the
+    Mosaic verifier requires to be a 32-bit integer. Under jax_enable_x64 a
+    Python-int shift binds as an i64 scalar and the kernel is rejected AT
+    COMPILE TIME on real TPU ('tpu.dynamic_rotate op operand #1 must be
+    32-bit signless integer, but got i64') — interpret mode never runs the
+    verifier, so only on-chip execution catches it (observed 2026-08-19 on
+    the 16M u64 workloads rows, which run under x64). Every roll call site
+    routes its shift through here.
+    """
+    if isinstance(shift, (int, np.integer)):
+        return np.int32(shift)
+    return shift.astype(jnp.int32)
 
 
 def next_pow2(n: int) -> int:

@@ -63,8 +63,9 @@ def _hist_kernel(bit_ref, x_ref, o_ref):
     bit = bit_ref[0].astype(jnp.uint32)
     dig = (x_ref[:] >> bit) & jnp.uint32(R - 1)
     for r in range(R):
-        # Mosaic has no unsigned reductions: sum in i32, store as u32
-        o_ref[r, b] = jnp.sum((dig == r).astype(jnp.int32)).astype(jnp.uint32)
+        # f32 mask count (common.sum_scalar_u32): exact below 2^24, immune
+        # to the x64 lowering-time promotion that kills integer scalar sums
+        o_ref[r, b] = common.sum_scalar_u32(dig == r)
 
 
 def digit_histogram(u, *, bit, block_rows=None, interpret=None):
@@ -82,15 +83,16 @@ def digit_histogram(u, *, bit, block_rows=None, interpret=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, bit: (b, 0))],
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, bit: (b, common.IM0))],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )
-    return pl.pallas_call(
-        _hist_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, nblocks), jnp.uint32),
-        interpret=interpret,
-    )(jnp.asarray([bit], jnp.int32), u)
+    with common.i32_trace():
+        return pl.pallas_call(
+            _hist_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, nblocks), jnp.uint32),
+            interpret=interpret,
+        )(jnp.asarray([bit], jnp.int32), u)
 
 
 def bucket_offsets(hist, *, interpret=None):
@@ -180,7 +182,7 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
         def digit_inc(r):
             return full[r]
     cnts = [
-        jnp.sum((digi == r).astype(jnp.int32)).astype(jnp.uint32)
+        common.sum_scalar_u32(digi == r)
         for r in range(R)
     ]
 
@@ -206,13 +208,16 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
             if s >= LANES:
                 # whole-row shift: no lane boundary crossing
                 m = (s // LANES) % rows
-                shl = lambda a: pltpu.roll(a, (-m) % rows, axis=0)
+                shl = lambda a: pltpu.roll(
+                    a, common.roll_shift_i32((-m) % rows), axis=0)
             else:
                 # row-major left shift by s < 128 crosses row boundaries:
                 # lanes >= 128-s pull from the next row
                 def shl(a, _s=s):
-                    r1 = pltpu.roll(a, (-_s) % LANES, axis=1)
-                    r2 = pltpu.roll(r1, (rows - 1) % rows, axis=0)
+                    r1 = pltpu.roll(a, common.roll_shift_i32((-_s) % LANES),
+                                    axis=1)
+                    r2 = pltpu.roll(r1, common.roll_shift_i32(
+                        (rows - 1) % rows), axis=0)
                     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
                     return jnp.where(lane < LANES - _s, r1, r2)
 
@@ -239,7 +244,8 @@ def _reorder_kernel(offs_ref, *refs, n_arr, rows):
             # col0, then pick row w (lanes >= col0) or row w-1 (lanes wrap)
             src = data[a]
             w = win[a]
-            shifted = pltpu.roll(src, col0 % LANES, axis=1)
+            shifted = pltpu.roll(src, common.roll_shift_i32(col0 % LANES),
+                                 axis=1)
             zrow = jnp.zeros((1, LANES), jnp.uint32)
             lo = jnp.concatenate([shifted, zrow], axis=0)  # row w
             hi = jnp.concatenate([zrow, shifted], axis=0)  # row w-1
@@ -270,7 +276,7 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, offs: (b, 0))]
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda b, offs: (b, common.IM0))]
         * n_arr
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
@@ -287,17 +293,18 @@ def _reorder_pass(arrs, offs, *, bit, block_rows, interpret):
     scalars = jnp.concatenate(
         [jnp.asarray([bit], jnp.int32), offs.reshape(-1).astype(jnp.int32)]
     )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32)
-            for _ in range(n_arr)
-        ],
-        input_output_aliases={1 + n_arr + i: i for i in range(n_arr)},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(scalars, *arrs, *outs)
+    with common.i32_trace():
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32)
+                for _ in range(n_arr)
+            ],
+            input_output_aliases={1 + n_arr + i: i for i in range(n_arr)},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(scalars, *arrs, *outs)
     return tuple(o[:rows] for o in out)
 
 

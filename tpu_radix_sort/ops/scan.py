@@ -44,7 +44,7 @@ INTERPRET_BLOCK_ROWS = 2048
 
 def _masked_shift(x, s, axis):
     """shifted[i] = x[i-s] along axis, zero-filled (not cyclic)."""
-    rolled = pltpu.roll(x, s, axis=axis)
+    rolled = pltpu.roll(x, common.roll_shift_i32(s), axis=axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     return jnp.where(idx >= s, rolled, jnp.uint32(0))
 
@@ -92,15 +92,18 @@ def scan_padded(x2d, *, inclusive=False, block_rows=None, interpret=None):
     rows = x2d.shape[0]
     block_rows = min(rows, block_rows or DEFAULT_BLOCK_ROWS)
     assert rows % block_rows == 0
-    return pl.pallas_call(
-        functools.partial(_scan_kernel, inclusive=inclusive),
-        grid=(rows // block_rows,),
-        in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.uint32)],
-        interpret=interpret,
-    )(x2d)
+    with common.i32_trace():
+        return pl.pallas_call(
+            functools.partial(_scan_kernel, inclusive=inclusive),
+            grid=(rows // block_rows,),
+            in_specs=[pl.BlockSpec((block_rows, LANES),
+                                   lambda i: (i, common.IM0))],
+            out_specs=pl.BlockSpec((block_rows, LANES),
+                                   lambda i: (i, common.IM0)),
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.uint32)],
+            interpret=interpret,
+        )(x2d)
 
 
 def prefix_sum(items, *, count=None, inclusive=False, block_rows=None,
