@@ -30,39 +30,45 @@ from tpu_radix_sort.runtime import device_time
 
 
 def headline_ab():
-    """64M k+v rank-payload (the headline config) block_rows 512 vs 1024:
+    """k+v rank-payload (the headline config) + keys-only block_rows A/B:
     the 16M 3-array sweep showed 512 ~4% ahead of the shipping 1024 —
-    check whether that transfers to the shape bench.py reports."""
+    check whether that transfers to the shapes bench.py reports. At 64M the
+    512-row program exceeds the remote-compile body cap (HTTP 413, measured
+    2026-08-19): smaller tiles mean more HBM-level merge rounds in one jit.
+    Rows fail soft so one uncompilable config doesn't kill the sweep;
+    BLOCKROWS_AB_N overrides the size (default 16M, which compiles at all
+    three tile heights)."""
     import tpu_radix_sort as trs
 
-    n = 1 << 26
+    n = int(os.environ.get("BLOCKROWS_AB_N", 1 << 24))
     rng = np.random.default_rng(0)
     knp = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     k = jnp.asarray(knp)
     v = jnp.arange(n, dtype=jnp.uint32)
     ref_k = np.sort(knp)
-    for b in (512, 1024, 2048):
-        def fn(kk, b=b):
-            return trs.sort(kk, v, values_are_ranks=True, block_rows=b)[0]
+    mname = f"{n >> 20}M"
 
-        f = jax.jit(fn)
-        out = np.asarray(f(k))
-        ok = np.array_equal(out, ref_k)
-        t = device_time(f, k, k_lo=1, k_hi=3)
-        print(f"64M k+v rank-payload block_rows={b:4d}  {t*1e3:9.3f} ms  "
-              f"{n/t/1e6:7.1f} Mkeys/s  ok={ok}", flush=True)
+    def row(label, fn):
+        try:
+            f = jax.jit(fn)
+            out = np.asarray(f(k))
+            ok = np.array_equal(out, ref_k)
+            t = device_time(f, k, k_lo=1, k_hi=3)
+            print(f"{label}  {t*1e3:9.3f} ms  {n/t/1e6:7.1f} Mkeys/s  "
+                  f"ok={ok}", flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep must keep going
+            print(f"{label}  FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:90]}", flush=True)
+
+    for b in (512, 1024, 2048):
+        row(f"{mname} k+v rank-payload block_rows={b:4d}",
+            lambda kk, b=b: trs.sort(kk, v, values_are_ranks=True,
+                                     block_rows=b)[0])
     # keys-only (1-array minmax path): the other shape a DEFAULT_BLOCK_ROWS
     # change would touch
     for b in (512, 1024, 2048):
-        def fnk(kk, b=b):
-            return trs.sort(kk, block_rows=b)
-
-        fk = jax.jit(fnk)
-        out = np.asarray(fk(k))
-        ok = np.array_equal(out, ref_k)
-        t = device_time(fk, k, k_lo=1, k_hi=3)
-        print(f"64M keys-only        block_rows={b:4d}  {t*1e3:9.3f} ms  "
-              f"{n/t/1e6:7.1f} Mkeys/s  ok={ok}", flush=True)
+        row(f"{mname} keys-only        block_rows={b:4d}",
+            lambda kk, b=b: trs.sort(kk, block_rows=b))
 
 
 def main():
