@@ -358,4 +358,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fold-engine":
+        # just the 64M full-engine fold A/B (the BENCH.md dangling-claim
+        # closer) — the per-stage sweep re-ran in round 4 and is stable
+        print("device:", jax.devices()[0], flush=True)
+        bench_engine_fold2()
+    else:
+        main()

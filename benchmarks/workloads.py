@@ -20,6 +20,13 @@ from tpu_radix_sort.models.golden import golden_sort
 from tpu_radix_sort.runtime import device_time
 
 
+# WORKLOADS_FROM=<substring>: skip rows until the first whose name contains
+# the substring (case-insensitive). Lets a partial capture resume where a
+# crash or a tunnel wedge stopped it instead of re-paying every earlier row.
+_FROM = os.environ.get("WORKLOADS_FROM", "").lower()
+_started = not _FROM
+
+
 def bench(name, fn, x, n, check=None, time_fn=None):
     """One golden-checked row. `fn` is checked once un-chained; timing uses
     `time_fn` when given — required when `fn` is not endomorphic (the chain
@@ -27,6 +34,13 @@ def bench(name, fn, x, n, check=None, time_fn=None):
     must equal input types; a bool-returning check op needs a same-typed
     wrapper that still data-depends on the op's result). Rows fail soft so
     one bad row cannot kill the whole capture block."""
+    global _started
+    if not _started:
+        if _FROM in name.lower():
+            _started = True
+        else:
+            print(f"{name:48s} SKIP (WORKLOADS_FROM)", flush=True)
+            return
     try:
         f = jax.jit(fn)
         out = f(x)
