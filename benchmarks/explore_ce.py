@@ -359,9 +359,13 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fold-engine":
-        # just the 64M full-engine fold A/B (the BENCH.md dangling-claim
-        # closer) — the per-stage sweep re-ran in round 4 and is stable
+        # just the full-engine fold A/B (the BENCH.md dangling-claim
+        # closer) — the per-stage sweep re-ran in round 4 and is stable.
+        # Optional argv[2] = element count: at 64M even the UN-chained
+        # k+v pipeline exceeds the remote-compile body cap (all 4 configs
+        # HTTP 413, 2026-08-19), so 32M is the largest measurable shape.
         print("device:", jax.devices()[0], flush=True)
-        bench_engine_fold2()
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 26
+        bench_engine_fold2(n)
     else:
         main()
